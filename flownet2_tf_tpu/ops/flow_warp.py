@@ -1,0 +1,104 @@
+"""Bilinear backward warping — TPU-native replacement for the reference's
+CUDA ``FlowWarp`` / ``FlowWarpGrad`` kernels.
+
+Reference semantics (reference ``src/ops/flow_warp/flow_warp_op.cc``
+REGISTER_OP "FlowWarp", ``flow_warp.cu.cc`` forward,
+``flow_warp_grad.cu.cc`` backward; Python shim ``src/flow_warp.py``):
+
+``warped[n, y, x, c] = image[n, y + v(y,x), x + u(y,x), c]`` sampled
+bilinearly, with sample coordinates clamped to the image border
+(border-replicate). The gradient w.r.t. the image is the scatter transpose
+of the bilinear gather; the gradient w.r.t. the flow is the analytic
+bilinear spatial derivative.
+
+The oracle is a pure-jnp gather + lerp — a VPU-friendly formulation that
+XLA fuses well; autodiff yields exactly the reference's two backward
+kernels (scatter-add for d_image, analytic lerp derivative for d_flow).
+``border='zero'`` masks out-of-frame samples to 0 instead (the Caffe
+FlowWarpLayer fill-zero variant) — kept as an option for parity
+experiments; 'clamp' is the default, matching the TF1 port.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from flownet2_tf_tpu.ops import dispatch
+
+
+def flow_warp(image, flow, border: str = "clamp",
+              implementation: str | None = None):
+    """Warp ``image`` (NHWC) backward by ``flow`` (NHW2, (u, v) order).
+
+    Drop-in equivalent of the reference shim
+    ``src/flow_warp.py::flow_warp(image, flow)``.
+    """
+    if image.ndim != 4 or flow.ndim != 4 or flow.shape[-1] != 2:
+        raise ValueError(
+            f"flow_warp expects NHWC image and NHW2 flow, got "
+            f"{image.shape} / {flow.shape}"
+        )
+    if image.shape[:3] != flow.shape[:3]:
+        raise ValueError(
+            f"image/flow spatial mismatch: {image.shape} vs {flow.shape}"
+        )
+    impl = implementation or dispatch.get_implementation()
+    if impl == "auto":
+        impl = "oracle"  # XLA's fused gather path is already strong here.
+    if impl == "pallas":
+        from flownet2_tf_tpu.ops.pallas.warp_kernel import flow_warp_pallas
+
+        return flow_warp_pallas(image, flow, border=border)
+    return _flow_warp_oracle(image, flow, border)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _flow_warp_oracle(image, flow, border):
+    n, h, w, c = image.shape
+    compute_dtype = jnp.promote_types(image.dtype, jnp.float32)
+    image = image.astype(compute_dtype)
+    flow = flow.astype(compute_dtype)
+
+    xs = jnp.arange(w, dtype=compute_dtype)[None, None, :]
+    ys = jnp.arange(h, dtype=compute_dtype)[None, :, None]
+    x2 = xs + flow[..., 0]
+    y2 = ys + flow[..., 1]
+
+    x0 = jnp.floor(x2)
+    y0 = jnp.floor(y2)
+    wx = x2 - x0
+    wy = y2 - y0
+
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+
+    flat = image.reshape(n, h * w, c)
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).reshape(n, h * w)
+        return jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(
+            n, h, w, c
+        )
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    out = top * (1.0 - wy) + bot * wy
+
+    if border == "zero":
+        inside = (
+            (x2 >= 0.0) & (x2 <= w - 1) & (y2 >= 0.0) & (y2 <= h - 1)
+        )
+        out = out * inside[..., None].astype(out.dtype)
+    return out

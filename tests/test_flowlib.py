@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+from flownet2_tf_tpu.utils import flowlib
+
+
+def test_flo_roundtrip(tmp_path, rng):
+    flow = rng.randn(48, 64, 2).astype(np.float32) * 10
+    path = tmp_path / "x.flo"
+    flowlib.write_flow(flow, path)
+    back = flowlib.read_flow(path)
+    np.testing.assert_array_equal(back, flow)
+
+
+def test_flo_header_layout(tmp_path):
+    """Byte-exact header: magic float, int32 W, int32 H, little-endian."""
+    flow = np.zeros((2, 3, 2), dtype=np.float32)
+    flow[0, 1] = (1.5, -2.5)
+    path = tmp_path / "x.flo"
+    flowlib.write_flow(flow, path)
+    raw = path.read_bytes()
+    assert len(raw) == 4 + 4 + 4 + 2 * 3 * 2 * 4
+    assert np.frombuffer(raw[:4], "<f4")[0] == np.float32(202021.25)
+    assert np.frombuffer(raw[4:8], "<i4")[0] == 3  # width
+    assert np.frombuffer(raw[8:12], "<i4")[0] == 2  # height
+    vals = np.frombuffer(raw[12:], "<f4").reshape(2, 3, 2)
+    assert vals[0, 1, 0] == 1.5 and vals[0, 1, 1] == -2.5
+
+
+def test_flo_bad_magic(tmp_path):
+    path = tmp_path / "bad.flo"
+    path.write_bytes(b"\x00" * 32)
+    with pytest.raises(ValueError):
+        flowlib.read_flow(path)
+
+
+def test_kitti_png_roundtrip(tmp_path, rng):
+    flow = (rng.rand(20, 30, 2).astype(np.float32) - 0.5) * 100
+    # KITTI quantizes to 1/64 px.
+    flow = np.round(flow * 64) / 64
+    path = tmp_path / "k.png"
+    flowlib.write_kitti_png_flow(flow, path)
+    back = flowlib.read_kitti_png_flow(path)
+    assert back.shape == (20, 30, 3)
+    np.testing.assert_allclose(back[:, :, :2], flow, atol=1e-5)
+    assert np.all(back[:, :, 2] == 1.0)
+
+
+def test_colorwheel_shape_and_values():
+    wheel = flowlib.make_color_wheel()
+    assert wheel.shape == (55, 3)
+    assert wheel.min() >= 0 and wheel.max() <= 255
+    # First entry is pure red, spec'd by the Middlebury wheel.
+    np.testing.assert_array_equal(wheel[0], [255, 0, 0])
+
+
+def test_flow_to_image_basic(rng):
+    flow = rng.randn(32, 40, 2).astype(np.float32) * 5
+    img = flowlib.flow_to_image(flow)
+    assert img.shape == (32, 40, 3) and img.dtype == np.uint8
+    # zero flow is (nearly) white-ish center of the wheel: not all black
+    assert img.max() > 0
+
+
+def test_flow_to_image_unknown_blanked():
+    flow = np.ones((8, 8, 2), dtype=np.float32)
+    flow[2, 2] = 1e9  # unknown marker
+    img = flowlib.flow_to_image(flow)
+    assert np.all(img[2, 2] == 0)
+
+
+def test_flow_error_and_evaluate(rng):
+    gt = rng.randn(16, 16, 2).astype(np.float32)
+    pred = gt + 1.0  # du=dv=1 -> EPE = sqrt(2)
+    aee = flowlib.evaluate_flow(gt, pred)
+    np.testing.assert_allclose(aee, np.sqrt(2.0), rtol=1e-6)
+    # unknown pixels excluded
+    gt2 = gt.copy()
+    gt2[0, 0] = 1e9
+    aee2 = flowlib.flow_error(gt2[:, :, 0], gt2[:, :, 1],
+                              pred[:, :, 0], pred[:, :, 1])
+    assert np.isfinite(aee2)
+
+
+def test_pfm_flow_roundtrip(tmp_path, rng):
+    flow = rng.randn(10, 12, 2).astype(np.float32)
+    path = tmp_path / "f.pfm"
+    rgb = np.concatenate([flow, np.zeros((10, 12, 1), np.float32)], axis=-1)
+    with open(path, "wb") as f:
+        f.write(b"PF\n12 10\n-1.0\n")
+        np.flipud(rgb).astype("<f4").tofile(f)
+    back = flowlib.read_pfm_flow(path)
+    np.testing.assert_allclose(back, flow, atol=1e-6)

@@ -1,0 +1,258 @@
+"""Unit tests for the jnp oracle kernels: correlation, flow_warp,
+downsample, TF1 bilinear resize — numerics vs independent NumPy
+implementations plus gradient checks (SURVEY.md §4 test strategy)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flownet2_tf_tpu.ops import (
+    correlation,
+    downsample,
+    flow_warp,
+    resize_bilinear_tf1,
+)
+from flownet2_tf_tpu.ops.correlation import correlation_output_shape
+
+
+# ---------------------------------------------------------------------------
+# NumPy reference implementations (deliberately naive & loopy)
+# ---------------------------------------------------------------------------
+
+def np_correlation(a, b, kernel_size, max_displacement, stride_1, stride_2,
+                   pad):
+    n, h, w, c = a.shape
+    kr = (kernel_size - 1) // 2
+    border = max_displacement + kr
+    out_h = -(-(h + 2 * pad - 2 * border) // stride_1)
+    out_w = -(-(w + 2 * pad - 2 * border) // stride_1)
+    r = max_displacement // stride_2
+    d = 2 * r + 1
+
+    ap = np.pad(a, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    bp = np.pad(b, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    out = np.zeros((n, out_h, out_w, d * d), dtype=np.float64)
+    for ni in range(n):
+        for yo in range(out_h):
+            for xo in range(out_w):
+                y1 = border + yo * stride_1
+                x1 = border + xo * stride_1
+                patch_a = ap[ni, y1 - kr:y1 + kr + 1, x1 - kr:x1 + kr + 1]
+                for dyi, dy in enumerate(range(-r, r + 1)):
+                    for dxi, dx in enumerate(range(-r, r + 1)):
+                        y2 = y1 + dy * stride_2
+                        x2 = x1 + dx * stride_2
+                        patch_b = bp[ni, y2 - kr:y2 + kr + 1,
+                                     x2 - kr:x2 + kr + 1]
+                        out[ni, yo, xo, dyi * d + dxi] = np.sum(
+                            patch_a * patch_b
+                        )
+    return out / (kernel_size * kernel_size * c)
+
+
+def np_flow_warp(image, flow):
+    n, h, w, c = image.shape
+    out = np.zeros_like(image, dtype=np.float64)
+    for ni in range(n):
+        for y in range(h):
+            for x in range(w):
+                x2 = x + flow[ni, y, x, 0]
+                y2 = y + flow[ni, y, x, 1]
+                x0, y0 = np.floor(x2), np.floor(y2)
+                wx, wy = x2 - x0, y2 - y0
+                x0i = int(np.clip(x0, 0, w - 1))
+                x1i = int(np.clip(x0 + 1, 0, w - 1))
+                y0i = int(np.clip(y0, 0, h - 1))
+                y1i = int(np.clip(y0 + 1, 0, h - 1))
+                top = image[ni, y0i, x0i] * (1 - wx) + image[ni, y0i, x1i] * wx
+                bot = image[ni, y1i, x0i] * (1 - wx) + image[ni, y1i, x1i] * wx
+                out[ni, y, x] = top * (1 - wy) + bot * wy
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Correlation
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        dict(kernel_size=1, max_displacement=4, stride_1=1, stride_2=2, pad=4),
+        dict(kernel_size=1, max_displacement=3, stride_1=1, stride_2=1, pad=3),
+        dict(kernel_size=3, max_displacement=2, stride_1=1, stride_2=1, pad=3),
+        dict(kernel_size=1, max_displacement=4, stride_1=2, stride_2=2, pad=4),
+    ],
+)
+def test_correlation_matches_numpy(rng, cfg):
+    a = rng.randn(2, 12, 14, 5).astype(np.float32)
+    b = rng.randn(2, 12, 14, 5).astype(np.float32)
+    got = np.asarray(correlation(a, b, implementation="oracle", **cfg))
+    want = np_correlation(a, b, **{k: cfg[k] for k in cfg})
+    assert got.shape == correlation_output_shape(a.shape, **cfg)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_correlation_flownetc_config_shape(rng):
+    """The real FlowNetC call: 441 channels, same spatial size."""
+    a = rng.randn(1, 24, 32, 8).astype(np.float32)
+    b = rng.randn(1, 24, 32, 8).astype(np.float32)
+    out = correlation(a, b, 1, 20, 1, 2, 20, implementation="oracle")
+    assert out.shape == (1, 24, 32, 441)
+
+
+def test_correlation_self_peak(rng):
+    """Correlating a unit-norm map with itself peaks at zero displacement
+    (Cauchy-Schwarz: a.b <= |a||b| = 1 = a.a)."""
+    a = rng.randn(1, 16, 16, 4).astype(np.float32)
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    out = np.asarray(
+        correlation(a, a, 1, 4, 1, 2, 4, implementation="oracle")
+    )
+    d = 5  # grid width for r=2
+    center = d * d // 2
+    interior = out[0, 4:-4, 4:-4]
+    assert np.all(interior.argmax(axis=-1) == center)
+
+
+def test_correlation_grads(rng):
+    a = jnp.asarray(rng.randn(1, 8, 9, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(1, 8, 9, 3).astype(np.float32))
+
+    def f(a, b):
+        return jnp.sum(
+            correlation(a, b, 1, 2, 1, 1, 2, implementation="oracle") ** 2
+        )
+
+    from jax.test_util import check_grads
+
+    check_grads(f, (a, b), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Flow warp
+# ---------------------------------------------------------------------------
+
+def test_flow_warp_matches_numpy(rng):
+    img = rng.rand(2, 10, 12, 3).astype(np.float32)
+    flow = (rng.rand(2, 10, 12, 2).astype(np.float32) - 0.5) * 6
+    got = np.asarray(flow_warp(img, flow, implementation="oracle"))
+    want = np_flow_warp(img, flow)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_flow_warp_zero_flow_identity(rng):
+    img = rng.rand(1, 8, 8, 3).astype(np.float32)
+    flow = np.zeros((1, 8, 8, 2), dtype=np.float32)
+    got = np.asarray(flow_warp(img, flow, implementation="oracle"))
+    np.testing.assert_allclose(got, img, rtol=1e-6, atol=1e-6)
+
+
+def test_flow_warp_integer_shift(rng):
+    """Flow (+1, 0) everywhere samples one pixel to the right."""
+    img = rng.rand(1, 6, 7, 2).astype(np.float32)
+    flow = np.zeros((1, 6, 7, 2), dtype=np.float32)
+    flow[..., 0] = 1.0
+    got = np.asarray(flow_warp(img, flow, implementation="oracle"))
+    np.testing.assert_allclose(got[0, :, :-1], img[0, :, 1:], atol=1e-6)
+    # last column clamps to the border
+    np.testing.assert_allclose(got[0, :, -1], img[0, :, -1], atol=1e-6)
+
+
+def test_flow_warp_border_zero_mode(rng):
+    img = rng.rand(1, 6, 6, 1).astype(np.float32) + 1.0
+    flow = np.zeros((1, 6, 6, 2), dtype=np.float32)
+    flow[..., 0] = 100.0  # everything lands far out of frame
+    got = np.asarray(
+        flow_warp(img, flow, border="zero", implementation="oracle")
+    )
+    np.testing.assert_allclose(got, 0.0, atol=1e-6)
+
+
+def test_flow_warp_grads(rng):
+    img = jnp.asarray(rng.rand(1, 6, 6, 2).astype(np.float32))
+    # keep flow away from integer lattice points (floor() kinks)
+    flow = jnp.asarray(
+        (rng.rand(1, 6, 6, 2).astype(np.float32) - 0.5) * 2 + 0.3
+    )
+
+    def f(img, flow):
+        return jnp.sum(flow_warp(img, flow, implementation="oracle") ** 2)
+
+    from jax.test_util import check_grads
+
+    check_grads(f, (img, flow), order=1, modes=["rev"], atol=5e-2, rtol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# Downsample
+# ---------------------------------------------------------------------------
+
+def test_downsample_integer_factor_is_avgpool(rng):
+    x = rng.randn(2, 8, 12, 2).astype(np.float32)
+    got = np.asarray(downsample(x, (4, 6)))
+    want = x.reshape(2, 4, 2, 6, 2, 2).mean(axis=(2, 4))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_downsample_preserves_constant(rng):
+    x = np.full((1, 12, 20, 2), 3.25, dtype=np.float32)
+    got = np.asarray(downsample(x, (5, 7)))  # fractional factors
+    np.testing.assert_allclose(got, 3.25, rtol=1e-5)
+
+
+def test_downsample_fractional_mean_preserved(rng):
+    x = rng.randn(1, 9, 15, 1).astype(np.float32)
+    got = np.asarray(downsample(x, (3, 5)))
+    np.testing.assert_allclose(got.mean(), x.mean(), rtol=1e-4, atol=1e-5)
+
+
+def test_downsample_identity(rng):
+    x = rng.randn(1, 6, 6, 2).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(downsample(x, (6, 6))), x)
+
+
+# ---------------------------------------------------------------------------
+# TF1 bilinear resize
+# ---------------------------------------------------------------------------
+
+def np_tf1_resize_bilinear(x, out_h, out_w):
+    n, h, w, c = x.shape
+    out = np.zeros((n, out_h, out_w, c), dtype=np.float64)
+    for i in range(out_h):
+        for j in range(out_w):
+            sy = i * h / out_h
+            sx = j * w / out_w
+            y0, x0 = int(np.floor(sy)), int(np.floor(sx))
+            y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+            wy, wx = sy - y0, sx - x0
+            top = x[:, y0, x0] * (1 - wx) + x[:, y0, x1] * wx
+            bot = x[:, y1, x0] * (1 - wx) + x[:, y1, x1] * wx
+            out[:, i, j] = top * (1 - wy) + bot * wy
+    return out
+
+
+def test_resize_bilinear_tf1_matches_numpy(rng):
+    x = rng.randn(2, 6, 8, 3).astype(np.float32)
+    got = np.asarray(resize_bilinear_tf1(x, 13, 17))
+    want = np_tf1_resize_bilinear(x, 13, 17)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_resize_bilinear_tf1_matches_tensorflow(rng):
+    tf = pytest.importorskip("tensorflow")
+    x = rng.randn(1, 12, 16, 2).astype(np.float32)
+    want = tf.compat.v1.image.resize_bilinear(
+        tf.constant(x), (96, 128)
+    ).numpy()
+    got = np.asarray(resize_bilinear_tf1(x, 96, 128))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_bilinear_upsample_x2_exact_corners(rng):
+    x = rng.randn(1, 4, 4, 1).astype(np.float32)
+    got = np.asarray(resize_bilinear_tf1(x, 8, 8))
+    # TF1 convention: out[2i, 2j] == in[i, j] exactly
+    np.testing.assert_allclose(got[0, ::2, ::2, 0], x[0, :, :, 0], atol=1e-6)
