@@ -1,0 +1,408 @@
+"""Host-side input pipeline: datasets + threaded prefetching batch loader.
+
+TPU-native replacement for the reference's slim dataset/queue-runner
+machinery (reference ``src/dataloader.py::load_batch``: TFRecordReader ->
+DatasetDataProvider queue runners -> GPU augmentation -> tf.train.batch).
+Here the host side only decodes and batches raw examples (threaded
+prefetch, the queue-runner counterpart); *all* augmentation runs on
+device inside the jitted train step (data/augmentation.py).
+
+Datasets yield dicts {'image_a', 'image_b', 'flow'} as float32 NumPy
+arrays, images scaled to [0, 1].
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from flownet2_tf_tpu.data import tfrecord
+from flownet2_tf_tpu.utils import flowlib
+from flownet2_tf_tpu.utils.image_io import read_image
+
+
+# ---------------------------------------------------------------------------
+# Datasets (index-addressable)
+# ---------------------------------------------------------------------------
+
+class SyntheticFlowDataset:
+    """Procedural image pairs with analytically known flow.
+
+    Each example: a smooth random texture A; flow = per-example random
+    affine field; B = A backward-warped by the flow (so that
+    flow_warp(B, flow) ~= A). Deterministic per (seed, index); used by
+    tests, training smoke runs and benchmarks — no dataset download
+    needed (the reference has no equivalent; its smoke story was a
+    bundled sample pair).
+    """
+
+    def __init__(self, size=1024, height=64, width=64, seed=0,
+                 max_flow=5.0):
+        self.size = int(size)
+        self.height = int(height)
+        self.width = int(width)
+        self.seed = int(seed)
+        self.max_flow = float(max_flow)
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState((self.seed * 1_000_003 + idx) % 2**31)
+        h, w = self.height, self.width
+        # smooth texture: low-res noise upsampled
+        small = rng.rand(h // 8 + 2, w // 8 + 2, 3).astype(np.float32)
+        img_a = _bilinear_upsample(small, h, w)
+
+        # affine flow field: f(p) = M p + t, small coefficients
+        ang = rng.uniform(-0.05, 0.05)
+        scale = rng.uniform(-0.03, 0.03)
+        tx, ty = rng.uniform(-self.max_flow, self.max_flow, 2)
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        cx, cy = (w - 1) / 2, (h - 1) / 2
+        u = (np.cos(ang) * (1 + scale) - 1) * (xs - cx) - np.sin(ang) * (
+            ys - cy
+        ) + tx
+        v = np.sin(ang) * (xs - cx) + (np.cos(ang) * (1 + scale) - 1) * (
+            ys - cy
+        ) + ty
+        flow = np.stack([u, v], axis=-1).astype(np.float32)
+
+        # B such that warping B backward by flow reproduces A:
+        # B(p + f(p)) = A(p)  =>  B(q) = A(finv(q)); build by forward
+        # resampling A at the inverse map (approximate with -flow for the
+        # small fields used here, then refine one fixed-point step).
+        img_b = _backward_resample(img_a, -flow)
+        return {"image_a": img_a, "image_b": img_b, "flow": flow}
+
+
+def _bilinear_upsample(img, h, w):
+    ys = np.linspace(0, img.shape[0] - 1.001, h)
+    xs = np.linspace(0, img.shape[1] - 1.001, w)
+    y0 = ys.astype(int)
+    x0 = xs.astype(int)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    a = img[y0][:, x0]
+    b = img[y0][:, x0 + 1]
+    c = img[y0 + 1][:, x0]
+    d = img[y0 + 1][:, x0 + 1]
+    return (
+        a * (1 - wy) * (1 - wx)
+        + b * (1 - wy) * wx
+        + c * wy * (1 - wx)
+        + d * wy * wx
+    ).astype(np.float32)
+
+
+def _backward_resample(img, flow):
+    h, w = img.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    x2 = np.clip(xs + flow[..., 0], 0, w - 1)
+    y2 = np.clip(ys + flow[..., 1], 0, h - 1)
+    x0 = np.floor(x2).astype(int)
+    y0 = np.floor(y2).astype(int)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx = (x2 - x0)[..., None]
+    wy = (y2 - y0)[..., None]
+    return (
+        img[y0, x0] * (1 - wy) * (1 - wx)
+        + img[y0, x1] * (1 - wy) * wx
+        + img[y1, x0] * wy * (1 - wx)
+        + img[y1, x1] * wy * wx
+    ).astype(np.float32)
+
+
+class FlyingChairsRawDataset:
+    """FlyingChairs release layout: NNNNN_img1.ppm / _img2.ppm / _flow.flo."""
+
+    def __init__(self, root):
+        self.root = os.fspath(root)
+        self.ids = sorted(
+            os.path.basename(p)[:-9]
+            for p in glob.glob(os.path.join(self.root, "*_img1.ppm"))
+        )
+        if not self.ids:
+            raise FileNotFoundError(f"no *_img1.ppm under {self.root}")
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __getitem__(self, idx):
+        stem = os.path.join(self.root, self.ids[idx])
+        return {
+            "image_a": read_image(stem + "_img1.ppm").astype(np.float32) / 255.0,
+            "image_b": read_image(stem + "_img2.ppm").astype(np.float32) / 255.0,
+            "flow": flowlib.read_flow(stem + "_flow.flo"),
+        }
+
+
+class TFRecordFlowDataset:
+    """Reference-layout TFRecords: Example{image_a, image_b, flow} raw
+    bytes, uint8 images and float32 flow at the config's H x W."""
+
+    def __init__(self, path, height, width):
+        self.path = os.fspath(path)
+        self.height = int(height)
+        self.width = int(width)
+        self._offsets = None
+
+    def _index(self):
+        if self._offsets is None:
+            offsets = []
+            import struct
+
+            with open(self.path, "rb") as f:
+                pos = 0
+                while True:
+                    header = f.read(12)
+                    if len(header) < 12:
+                        break
+                    (length,) = struct.unpack("<Q", header[:8])
+                    offsets.append(pos)
+                    pos += 12 + length + 4
+                    f.seek(pos)
+            self._offsets = offsets
+        return self._offsets
+
+    def __len__(self):
+        return len(self._index())
+
+    def __getitem__(self, idx):
+        import struct
+
+        offsets = self._index()
+        with open(self.path, "rb") as f:
+            f.seek(offsets[idx])
+            header = f.read(12)
+            (length,) = struct.unpack("<Q", header[:8])
+            payload = f.read(length)
+        feats = tfrecord.parse_example(payload)
+        h, w = self.height, self.width
+        image_a = (
+            np.frombuffer(feats["image_a"][0], np.uint8)
+            .reshape(h, w, 3)
+            .astype(np.float32)
+            / 255.0
+        )
+        image_b = (
+            np.frombuffer(feats["image_b"][0], np.uint8)
+            .reshape(h, w, 3)
+            .astype(np.float32)
+            / 255.0
+        )
+        flow = np.frombuffer(feats["flow"][0], np.float32).reshape(h, w, 2)
+        return {"image_a": image_a, "image_b": image_b, "flow": flow.copy()}
+
+
+class SintelDataset:
+    """MPI-Sintel training layout: training/{clean|final}/<seq>/frame_NNNN.png
+    with training/flow/<seq>/frame_NNNN.flo ground truth."""
+
+    def __init__(self, root, render_pass="clean", split="training"):
+        self.root = os.fspath(root)
+        img_dir = os.path.join(self.root, split, render_pass)
+        flow_dir = os.path.join(self.root, split, "flow")
+        self.pairs = []
+        for seq in sorted(os.listdir(img_dir)) if os.path.isdir(img_dir) else []:
+            frames = sorted(glob.glob(os.path.join(img_dir, seq, "frame_*.png")))
+            for a, b in zip(frames[:-1], frames[1:]):
+                stem = os.path.basename(a)[:-4]
+                flo = os.path.join(flow_dir, seq, stem + ".flo")
+                if os.path.exists(flo):
+                    self.pairs.append((a, b, flo))
+        if not self.pairs:
+            raise FileNotFoundError(f"no Sintel pairs under {img_dir}")
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, idx):
+        a, b, flo = self.pairs[idx]
+        return {
+            "image_a": read_image(a).astype(np.float32) / 255.0,
+            "image_b": read_image(b).astype(np.float32) / 255.0,
+            "flow": flowlib.read_flow(flo),
+        }
+
+
+class KittiDataset:
+    """KITTI flow layout: colored_0/ image pairs *_10.png/*_11.png with
+    flow_occ/ (or flow_noc/) 16-bit PNG ground truth."""
+
+    def __init__(self, root, split="training", flow_kind="flow_occ"):
+        self.root = os.fspath(root)
+        base = os.path.join(self.root, split)
+        img_dir = os.path.join(base, "colored_0")
+        if not os.path.isdir(img_dir):
+            img_dir = os.path.join(base, "image_2")  # KITTI2015 layout
+        self.items = []
+        for first in sorted(glob.glob(os.path.join(img_dir, "*_10.png"))):
+            second = first.replace("_10.png", "_11.png")
+            stem = os.path.basename(first)
+            flo = os.path.join(base, flow_kind, stem)
+            if os.path.exists(second) and os.path.exists(flo):
+                self.items.append((first, second, flo))
+        if not self.items:
+            raise FileNotFoundError(f"no KITTI pairs under {img_dir}")
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        a, b, flo = self.items[idx]
+        return {
+            "image_a": read_image(a).astype(np.float32) / 255.0,
+            "image_b": read_image(b).astype(np.float32) / 255.0,
+            "flow": flowlib.read_kitti_png_flow(flo),  # (H, W, 3) w/ mask
+        }
+
+
+# ---------------------------------------------------------------------------
+# Batch loader (threaded prefetch — the queue-runner replacement)
+# ---------------------------------------------------------------------------
+
+class BatchLoader:
+    """Shuffling, epoch-repeating, prefetching batch iterator.
+
+    ``num_workers`` decode threads fill a bounded queue (the reference's
+    tf.train.batch num_threads analogue); batches are stacked NumPy
+    arrays ready for jax.device_put.
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=True, seed=0,
+                 num_workers=4, prefetch=4, drop_remainder=True):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, int(num_workers))
+        self.prefetch = int(prefetch)
+        self.drop_remainder = drop_remainder
+
+    def _epoch_order(self, epoch):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        return order
+
+    def batches(self, epochs=None) -> Iterator[dict]:
+        """Yield batches forever (epochs=None) or for N epochs."""
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            epoch = 0
+            try:
+                while not stop.is_set():
+                    if epochs is not None and epoch >= epochs:
+                        break
+                    order = self._epoch_order(epoch)
+                    n = len(order)
+                    limit = (
+                        n - n % self.batch_size
+                        if self.drop_remainder
+                        else n
+                    )
+                    for start in range(0, limit, self.batch_size):
+                        idxs = order[start : start + self.batch_size]
+                        items = _parallel_fetch(
+                            self.dataset, idxs, self.num_workers
+                        )
+                        batch = {
+                            k: np.stack([it[k] for it in items])
+                            for k in items[0]
+                        }
+                        while not stop.is_set():
+                            try:
+                                out_q.put(batch, timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
+                    epoch += 1
+            finally:
+                while not stop.is_set():
+                    try:
+                        out_q.put(None, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+def _parallel_fetch(dataset, idxs: Sequence[int], num_workers: int):
+    if num_workers <= 1 or len(idxs) <= 1:
+        return [dataset[int(i)] for i in idxs]
+    results = [None] * len(idxs)
+    lock = threading.Lock()
+    pos = {"i": 0}
+
+    def worker():
+        while True:
+            with lock:
+                i = pos["i"]
+                if i >= len(idxs):
+                    return
+                pos["i"] = i + 1
+            results[i] = dataset[int(idxs[i])]
+
+    threads = [
+        threading.Thread(target=worker)
+        for _ in range(min(num_workers, len(idxs)))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results  # type: ignore[return-value]
+
+
+def load_batch(dataset_config, split="train", dataset=None):
+    """Reference-shim: build a BatchLoader from a dataset config dict.
+
+    Mirrors ``src/dataloader.py::load_batch(dataset_config, split)`` but
+    returns (loader, preprocess_spec) — augmentation happens on device in
+    the train step, not here.
+    """
+    if dataset is None:
+        path = dataset_config.get("PATHS", {}).get(split)
+        if path and os.path.exists(path):
+            dataset = TFRecordFlowDataset(
+                path,
+                dataset_config["IMAGE_HEIGHT"],
+                dataset_config["IMAGE_WIDTH"],
+            )
+        else:
+            raw_root = dataset_config.get("RAW_ROOT")
+            if raw_root and os.path.isdir(raw_root):
+                dataset = FlyingChairsRawDataset(raw_root)
+            else:
+                raise FileNotFoundError(
+                    f"no data for {dataset_config.get('NAME')}: checked "
+                    f"TFRecords {path!r} and RAW_ROOT {raw_root!r}"
+                )
+    loader = BatchLoader(
+        dataset,
+        batch_size=dataset_config.get("BATCH_SIZE", 8),
+        shuffle=(split == "train"),
+    )
+    return loader, dataset_config.get("PREPROCESS", {})

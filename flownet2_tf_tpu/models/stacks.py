@@ -1,0 +1,264 @@
+"""Stacked models: FlowNetCS, FlowNetCSS and the full FlowNet2 fusion.
+
+Architecture parity:
+
+* FlowNetCS (reference ``src/flownet_cs/flownet_cs.py``): FlowNetC under
+  sub-scope ``FlowNetC`` -> full-res flow; ``warped = flow_warp(input_b,
+  flow)``; ``brightness_error = channel_norm(input_a - warped)``; second
+  stage is a FlowNetS (sub-scope ``FlowNetS``) on the 12-channel concat
+  [input_a, input_b, warped, flow * 0.05, brightness_error]. Loss: second
+  stage's multi-scale loss only (the C stage is warm-started/frozen).
+* FlowNetCSS (reference ``src/flownet_css/flownet_css.py``): the same
+  pattern once more on top of FlowNetCS.
+* FlowNet2 (reference ``src/flownet2/flownet2.py``): CSS branch + SD
+  branch on the same pair; per-branch warped image, brightness error and
+  flow magnitude (channel_norm); fusion net on the 11-channel concat
+  [input_a, flow_css*0.05, flow_sd*0.05, mag_css, mag_sd, err_css,
+  err_sd]; fusion decoder fuse_conv0..fuse_conv2_1 ->
+  predict_flow2/1/0 with fuse_deconv/fuse_interconv refinement;
+  ``flow = predict_flow0 * 20`` at full resolution.
+
+Parameter pytrees nest by stage name exactly like the reference's slim
+scopes (``FlowNet2/FlowNetCSS/FlowNetCS/FlowNetC/conv1/weights``), which
+makes TF1-checkpoint conversion and stage warm-starting a pure pytree-path
+mapping.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from flownet2_tf_tpu.models import common, flownet_c, flownet_s, flownet_sd
+from flownet2_tf_tpu.models.base import FLOW_SCALE, multiscale_loss
+from flownet2_tf_tpu.ops.flow_warp import flow_warp
+from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
+
+
+def _second_stage_input(input_a, input_b, flow):
+    warped = flow_warp(input_b, flow)
+    brightness_error = common.channel_norm(input_a - warped)
+    return jnp.concatenate(
+        [
+            input_a,
+            input_b,
+            warped.astype(input_a.dtype),
+            flow * FLOW_SCALE,
+            brightness_error.astype(input_a.dtype),
+        ],
+        axis=-1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# FlowNetCS
+# ---------------------------------------------------------------------------
+
+def init_cs(key, dtype=jnp.float32):
+    kc, ks = jax.random.split(key)
+    return {
+        "FlowNetC": flownet_c.init(kc, dtype=dtype),
+        "FlowNetS": flownet_s.init(ks, input_channels=12, dtype=dtype),
+    }
+
+
+def apply_cs(params, inputs, training: bool = False, compute_dtype=None):
+    preds_c = flownet_c.apply(
+        params["FlowNetC"], inputs, training=training,
+        compute_dtype=compute_dtype,
+    )
+    x = _second_stage_input(
+        inputs["input_a"], inputs["input_b"], preds_c["flow"]
+    )
+    preds = flownet_s.apply(
+        params["FlowNetS"], x, training=training, compute_dtype=compute_dtype
+    )
+    preds["flow_c"] = preds_c["flow"]
+    return preds
+
+
+def loss_cs(flow_gt, predictions):
+    return multiscale_loss(flow_gt, predictions)
+
+
+# ---------------------------------------------------------------------------
+# FlowNetCSS
+# ---------------------------------------------------------------------------
+
+def init_css(key, dtype=jnp.float32):
+    kcs, ks = jax.random.split(key)
+    return {
+        "FlowNetCS": init_cs(kcs, dtype=dtype),
+        "FlowNetS": flownet_s.init(ks, input_channels=12, dtype=dtype),
+    }
+
+
+def apply_css(params, inputs, training: bool = False, compute_dtype=None):
+    preds_cs = apply_cs(
+        params["FlowNetCS"], inputs, training=training,
+        compute_dtype=compute_dtype,
+    )
+    x = _second_stage_input(
+        inputs["input_a"], inputs["input_b"], preds_cs["flow"]
+    )
+    preds = flownet_s.apply(
+        params["FlowNetS"], x, training=training, compute_dtype=compute_dtype
+    )
+    preds["flow_cs"] = preds_cs["flow"]
+    return preds
+
+
+def loss_css(flow_gt, predictions):
+    return multiscale_loss(flow_gt, predictions)
+
+
+# ---------------------------------------------------------------------------
+# FlowNet2 (CSS + SD + fusion)
+# ---------------------------------------------------------------------------
+
+FUSION = [
+    # (name, kernel, stride, out_channels, activation)
+    ("fuse_conv0", 3, 1, 64, True),
+    ("fuse_conv1", 3, 2, 64, True),
+    ("fuse_conv1_1", 3, 1, 128, True),
+    ("fuse_conv2", 3, 2, 128, True),
+    ("fuse_conv2_1", 3, 1, 128, True),
+]
+
+FUSION_IN_CHANNELS = 11  # 3 + 2 + 2 + 1 + 1 + 1 + 1
+
+
+def init_flownet2(key, dtype=jnp.float32):
+    kcss, ksd, kf = jax.random.split(key, 3)
+    params = {
+        "FlowNetCSS": init_css(kcss, dtype=dtype),
+        "FlowNetSD": flownet_sd.init(ksd, dtype=dtype),
+    }
+    keys = iter(jax.random.split(kf, 32))
+    cin = FUSION_IN_CHANNELS
+    for name, k, _, cout, _ in FUSION:
+        params[name] = common.conv_params(next(keys), k, cin, cout, dtype)
+        cin = cout
+    params["predict_flow2"] = common.conv_params(next(keys), 3, 128, 2, dtype)
+    params["fuse_deconv1"] = common.deconv_params(next(keys), 128, 32, dtype=dtype)
+    params["fuse_upsample_flow2to1"] = common.deconv_params(
+        next(keys), 2, 2, dtype=dtype
+    )
+    concat1_ch = 128 + 32 + 2  # fuse_conv1_1 + fuse_deconv1 + upflow
+    params["fuse_interconv1"] = common.conv_params(
+        next(keys), 3, concat1_ch, 32, dtype
+    )
+    params["predict_flow1"] = common.conv_params(next(keys), 3, 32, 2, dtype)
+    params["fuse_deconv0"] = common.deconv_params(
+        next(keys), concat1_ch, 16, dtype=dtype
+    )
+    params["fuse_upsample_flow1to0"] = common.deconv_params(
+        next(keys), 2, 2, dtype=dtype
+    )
+    concat0_ch = 64 + 16 + 2  # fuse_conv0 + fuse_deconv0 + upflow
+    params["fuse_interconv0"] = common.conv_params(
+        next(keys), 3, concat0_ch, 16, dtype
+    )
+    params["predict_flow0"] = common.conv_params(next(keys), 3, 16, 2, dtype)
+    return params
+
+
+def apply_flownet2(params, inputs, training: bool = False,
+                   compute_dtype=None):
+    input_a = inputs["input_a"]
+    input_b = inputs["input_b"]
+    n, in_h, in_w, _ = input_a.shape
+    cd = compute_dtype
+
+    preds_css = apply_css(
+        params["FlowNetCSS"], inputs, training=training, compute_dtype=cd
+    )
+    preds_sd = flownet_sd.apply(
+        params["FlowNetSD"], inputs, training=training, compute_dtype=cd
+    )
+    flow_css = preds_css["flow"]
+    flow_sd = preds_sd["flow"]
+
+    def branch_features(flow):
+        warped = flow_warp(input_b, flow)
+        err = common.channel_norm(input_a - warped)
+        mag = common.channel_norm(flow)
+        return err, mag
+
+    err_css, mag_css = branch_features(flow_css)
+    err_sd, mag_sd = branch_features(flow_sd)
+
+    x = jnp.concatenate(
+        [
+            input_a,
+            flow_css * FLOW_SCALE,
+            flow_sd * FLOW_SCALE,
+            mag_css,
+            mag_sd,
+            err_css,
+            err_sd,
+        ],
+        axis=-1,
+    )
+
+    acts = {}
+    for name, _, stride, _, act in FUSION:
+        x = common.conv(params[name], x, stride=stride, act=act,
+                        compute_dtype=cd)
+        acts[name] = x
+
+    preds = {}
+    flow2 = common.predict_flow(params["predict_flow2"], x, compute_dtype=cd)
+    preds["predict_flow2"] = flow2
+
+    up_feat1 = common.deconv(params["fuse_deconv1"], x, compute_dtype=cd)
+    up_flow1 = common.deconv(
+        params["fuse_upsample_flow2to1"], flow2, act=False, compute_dtype=cd
+    )
+    concat1 = jnp.concatenate(
+        [acts["fuse_conv1_1"], up_feat1, up_flow1], axis=-1
+    )
+    inter1 = common.conv(
+        params["fuse_interconv1"], concat1, act=False, compute_dtype=cd
+    )
+    flow1 = common.predict_flow(params["predict_flow1"], inter1,
+                                compute_dtype=cd)
+    preds["predict_flow1"] = flow1
+
+    up_feat0 = common.deconv(params["fuse_deconv0"], concat1,
+                             compute_dtype=cd)
+    up_flow0 = common.deconv(
+        params["fuse_upsample_flow1to0"], flow1, act=False, compute_dtype=cd
+    )
+    concat0 = jnp.concatenate(
+        [acts["fuse_conv0"], up_feat0, up_flow0], axis=-1
+    )
+    inter0 = common.conv(
+        params["fuse_interconv0"], concat0, act=False, compute_dtype=cd
+    )
+    flow0 = common.predict_flow(params["predict_flow0"], inter0,
+                                compute_dtype=cd)
+    preds["predict_flow0"] = flow0
+
+    preds["flow"] = resize_bilinear_tf1(flow0 * 20.0, in_h, in_w)
+    preds["flow_css"] = flow_css
+    preds["flow_sd"] = flow_sd
+    return preds
+
+
+# Fusion-net loss weights follow the Caffe coarse-to-fine convention on
+# the three fusion scales (flow2 is the coarsest). The reference trains
+# only the fusion net at this stage.
+FUSION_LOSS_WEIGHTS = {
+    "predict_flow2": 0.32,
+    "predict_flow1": 0.08,
+    "predict_flow0": 0.02,
+}
+
+
+def loss_flownet2(flow_gt, predictions):
+    return multiscale_loss(
+        flow_gt,
+        {k: predictions[k] for k in FUSION_LOSS_WEIGHTS},
+        weights=FUSION_LOSS_WEIGHTS,
+    )

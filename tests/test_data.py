@@ -1,0 +1,272 @@
+"""Data-layer tests: TFRecord codec, loaders, device-side augmentation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flownet2_tf_tpu.data import augmentation, tfrecord
+from flownet2_tf_tpu.data.dataset_configs import FLYING_CHAIRS_DATASET_CONFIG
+from flownet2_tf_tpu.data.loader import (
+    BatchLoader,
+    SyntheticFlowDataset,
+    TFRecordFlowDataset,
+)
+from flownet2_tf_tpu.ops.flow_warp import flow_warp
+
+
+# ---------------------------------------------------------------------------
+# TFRecord codec
+# ---------------------------------------------------------------------------
+
+def test_tfrecord_roundtrip(tmp_path, rng):
+    img_a = rng.randint(0, 255, (8, 10, 3), dtype=np.uint8)
+    img_b = rng.randint(0, 255, (8, 10, 3), dtype=np.uint8)
+    flow = rng.randn(8, 10, 2).astype(np.float32)
+    payloads = [
+        tfrecord.build_example(
+            {
+                "image_a": img_a.tobytes(),
+                "image_b": img_b.tobytes(),
+                "flow": flow.tobytes(),
+            }
+        )
+        for _ in range(3)
+    ]
+    path = tmp_path / "x.tfrecords"
+    tfrecord.write_records(path, payloads)
+
+    records = list(tfrecord.read_records(path))
+    assert len(records) == 3
+    feats = tfrecord.parse_example(records[0])
+    assert set(feats) == {"image_a", "image_b", "flow"}
+    np.testing.assert_array_equal(
+        np.frombuffer(feats["flow"][0], np.float32).reshape(8, 10, 2), flow
+    )
+
+    ds = TFRecordFlowDataset(path, 8, 10)
+    assert len(ds) == 3
+    item = ds[1]
+    assert item["image_a"].shape == (8, 10, 3)
+    assert item["flow"].shape == (8, 10, 2)
+    assert 0.0 <= item["image_a"].min() and item["image_a"].max() <= 1.0
+
+
+@pytest.mark.slow
+def test_tfrecord_matches_tensorflow(tmp_path, rng):
+    """Our hand-rolled Example parser reads real TF-written records."""
+    tf = pytest.importorskip("tensorflow")
+    flow = rng.randn(4, 5, 2).astype(np.float32)
+    ex = tf.train.Example(
+        features=tf.train.Features(
+            feature={
+                "image_a": tf.train.Feature(
+                    bytes_list=tf.train.BytesList(value=[b"\x01" * 60])
+                ),
+                "image_b": tf.train.Feature(
+                    bytes_list=tf.train.BytesList(value=[b"\x02" * 60])
+                ),
+                "flow": tf.train.Feature(
+                    bytes_list=tf.train.BytesList(value=[flow.tobytes()])
+                ),
+            }
+        )
+    )
+    path = str(tmp_path / "tf.tfrecords")
+    with tf.io.TFRecordWriter(path) as w:
+        w.write(ex.SerializeToString())
+    recs = list(tfrecord.read_records(path))
+    feats = tfrecord.parse_example(recs[0])
+    np.testing.assert_array_equal(
+        np.frombuffer(feats["flow"][0], np.float32).reshape(4, 5, 2), flow
+    )
+    # and TF can read ours:
+    tfrecord.write_records(
+        str(tmp_path / "ours.tfrecords"), [ex.SerializeToString()]
+    )
+    read_back = next(
+        iter(tf.data.TFRecordDataset(str(tmp_path / "ours.tfrecords")))
+    ).numpy()
+    assert read_back == ex.SerializeToString()
+
+
+# ---------------------------------------------------------------------------
+# Synthetic dataset + loader
+# ---------------------------------------------------------------------------
+
+def test_synthetic_dataset_flow_consistency():
+    """flow_warp(image_b, flow) must reconstruct image_a (interior)."""
+    ds = SyntheticFlowDataset(size=4, height=48, width=48, seed=3,
+                              max_flow=3.0)
+    item = ds[2]
+    warped = np.asarray(
+        flow_warp(item["image_b"][None], item["flow"][None])
+    )[0]
+    interior = (slice(8, -8), slice(8, -8))
+    err = np.abs(warped[interior] - item["image_a"][interior]).mean()
+    assert err < 0.02, err
+
+
+def test_synthetic_dataset_deterministic():
+    ds = SyntheticFlowDataset(size=4, height=32, width=32, seed=1)
+    a1 = ds[0]
+    a2 = ds[0]
+    np.testing.assert_array_equal(a1["image_a"], a2["image_a"])
+    np.testing.assert_array_equal(a1["flow"], a2["flow"])
+
+
+def test_batch_loader_shapes_and_epochs():
+    ds = SyntheticFlowDataset(size=10, height=16, width=16)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, num_workers=2)
+    batches = list(loader.batches(epochs=1))
+    assert len(batches) == 2  # 10 // 4, drop remainder
+    assert batches[0]["image_a"].shape == (4, 16, 16, 3)
+    assert batches[0]["flow"].shape == (4, 16, 16, 2)
+
+
+def test_batch_loader_shuffle_differs_across_epochs():
+    ds = SyntheticFlowDataset(size=16, height=8, width=8)
+    loader = BatchLoader(ds, batch_size=16, shuffle=True, num_workers=1)
+    b1, b2 = list(loader.batches(epochs=2))
+    assert not np.array_equal(b1["image_a"], b2["image_a"])
+
+
+# ---------------------------------------------------------------------------
+# Augmentation
+# ---------------------------------------------------------------------------
+
+def _identity_spec():
+    return {"crop_height": 32, "crop_width": 40, "image_a": {},
+            "image_b": {}}
+
+
+def test_augment_identity_is_center_crop(rng):
+    """Empty spec -> pure center crop, flow untouched."""
+    a = rng.rand(2, 48, 64, 3).astype(np.float32)
+    b = rng.rand(2, 48, 64, 3).astype(np.float32)
+    f = rng.randn(2, 48, 64, 2).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    aug_a, aug_b, aug_f = augmentation.augment_batch(
+        key, a, b, f, _identity_spec()
+    )
+    ca, cb, cf = augmentation.center_crop_batch(a, b, f, _identity_spec())
+    np.testing.assert_allclose(np.asarray(aug_a), ca, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aug_b), cb, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aug_f), cf, atol=1e-4)
+
+
+def test_augment_flow_reexpression_consistency(rng):
+    """THE system test: start from a consistent (A, B, flow) triple,
+    augment with random spatial transforms, and check that the augmented
+    flow still registers aug_b onto aug_a."""
+    from flownet2_tf_tpu.data.loader import SyntheticFlowDataset
+
+    ds = SyntheticFlowDataset(size=2, height=96, width=96, seed=7,
+                              max_flow=4.0)
+    items = [ds[i] for i in range(2)]
+    a = np.stack([it["image_a"] for it in items])
+    b = np.stack([it["image_b"] for it in items])
+    f = np.stack([it["flow"] for it in items])
+
+    spec = {
+        "crop_height": 64,
+        "crop_width": 64,
+        "image_a": {
+            "translate": {"rand_type": "uniform_bernoulli", "exp": False,
+                          "mean": 0.0, "spread": 0.05, "prob": 1.0},
+            "rotate": {"rand_type": "uniform_bernoulli", "exp": False,
+                       "mean": 0.0, "spread": 0.2, "prob": 1.0},
+            "zoom": {"rand_type": "uniform_bernoulli", "exp": True,
+                     "mean": 0.15, "spread": 0.1, "prob": 1.0},
+        },
+        "image_b": {
+            "translate": {"rand_type": "gaussian_bernoulli", "exp": False,
+                          "mean": 0.0, "spread": 0.01, "prob": 1.0},
+        },
+    }
+    aug_a, aug_b, aug_f = augmentation.augment_batch(
+        jax.random.PRNGKey(42), jnp.asarray(a), jnp.asarray(b),
+        jnp.asarray(f), spec,
+    )
+    rewarped = np.asarray(flow_warp(aug_b, aug_f))
+    interior = (slice(None), slice(12, -12), slice(12, -12))
+    err = np.abs(rewarped[interior] - np.asarray(aug_a)[interior]).mean()
+    assert err < 0.03, err
+
+
+def test_augment_deterministic_per_key(rng):
+    a = rng.rand(1, 48, 48, 3).astype(np.float32)
+    b = rng.rand(1, 48, 48, 3).astype(np.float32)
+    f = rng.randn(1, 48, 48, 2).astype(np.float32)
+    spec = FLYING_CHAIRS_DATASET_CONFIG["PREPROCESS"] | {
+        "crop_height": 32, "crop_width": 32
+    }
+    key = jax.random.PRNGKey(123)
+    out1 = augmentation.augment_batch(key, a, b, f, spec)
+    out2 = augmentation.augment_batch(key, a, b, f, spec)
+    for x, y in zip(out1, out2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    out3 = augmentation.augment_batch(jax.random.PRNGKey(124), a, b, f, spec)
+    assert not np.array_equal(np.asarray(out1[0]), np.asarray(out3[0]))
+
+
+def test_augment_output_ranges(rng):
+    a = rng.rand(4, 64, 64, 3).astype(np.float32)
+    b = rng.rand(4, 64, 64, 3).astype(np.float32)
+    f = rng.randn(4, 64, 64, 2).astype(np.float32)
+    spec = FLYING_CHAIRS_DATASET_CONFIG["PREPROCESS"] | {
+        "crop_height": 48, "crop_width": 48
+    }
+    aug_a, aug_b, aug_f = augmentation.augment_batch(
+        jax.random.PRNGKey(5), a, b, f, spec
+    )
+    for img in (aug_a, aug_b):
+        arr = np.asarray(img)
+        assert arr.shape == (4, 48, 48, 3)
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
+    assert np.isfinite(np.asarray(aug_f)).all()
+
+
+def test_coeff_distributions_frozen_seed():
+    """Distribution-level spec parity: uniform_bernoulli bounds, exp
+    transform positivity, bernoulli drop probability."""
+    spec = {"rand_type": "uniform_bernoulli", "exp": False,
+            "mean": 0.1, "spread": 0.2, "prob": 0.5}
+    val, is_exp = augmentation._sample_coeff(
+        jax.random.PRNGKey(0), spec, 4096, 1
+    )
+    v = np.asarray(val).ravel()
+    assert not is_exp
+    nz = v[v != 0.0]
+    assert nz.min() >= -0.1 - 1e-6 and nz.max() <= 0.3 + 1e-6
+    drop_rate = np.mean(v == 0.0)
+    assert 0.4 < drop_rate < 0.6
+
+    spec_exp = {"rand_type": "gaussian_bernoulli", "exp": True,
+                "mean": 0.0, "spread": 0.1, "prob": 1.0}
+    val, is_exp = augmentation._sample_coeff(
+        jax.random.PRNGKey(1), spec_exp, 4096, 1
+    )
+    assert is_exp
+    g = np.exp(np.asarray(val).ravel())
+    assert g.min() > 0
+    assert abs(np.log(g).mean()) < 0.01
+    assert abs(np.log(g).std() - 0.1) < 0.01
+
+
+def test_affine_invert(rng):
+    coeffs = {
+        "translate": jnp.asarray(rng.randn(3, 2).astype(np.float32) * 0.1),
+        "rotate": jnp.asarray(rng.randn(3).astype(np.float32) * 0.3),
+        "zoom": jnp.asarray(1.0 + rng.rand(3).astype(np.float32) * 0.5),
+        "squeeze": jnp.asarray(1.0 + rng.rand(3).astype(np.float32) * 0.2),
+    }
+    theta = augmentation.coeffs_to_affine(coeffs, (64, 80), (32, 40))
+    inv = augmentation.invert_affine(theta)
+    # compose: inv(theta(p)) == p for a probe point
+    p = np.array([7.0, 11.0, 1.0], np.float32)
+    q = np.asarray(theta) @ p
+    q1 = np.concatenate([q, np.ones((3, 1), np.float32)], axis=1)
+    back = np.einsum("bij,bj->bi", np.asarray(inv), q1)
+    np.testing.assert_allclose(back, np.tile(p[:2], (3, 1)), atol=1e-4)

@@ -1,0 +1,167 @@
+"""Model-zoo tests: construction, forward shapes, loss, gradients.
+
+Uses 64x64 (the minimum legal input: 6 stride-2 stages) to keep CPU time
+sane; 384x512-shaped checks run in the inference CLI tests.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flownet2_tf_tpu.models import common
+from flownet2_tf_tpu.models.registry import get_model, MODEL_NAMES
+
+H = W = 64
+
+
+def make_inputs(rng, n=1, h=H, w=W):
+    return {
+        "input_a": jnp.asarray(rng.rand(n, h, w, 3).astype(np.float32)),
+        "input_b": jnp.asarray(rng.rand(n, h, w, 3).astype(np.float32)),
+    }
+
+
+@pytest.mark.parametrize("name", MODEL_NAMES)
+def test_forward_shapes(rng, name):
+    model = get_model(name)
+    params = model.init(jax.random.PRNGKey(0))
+    inputs = make_inputs(rng)
+    preds = jax.jit(model.apply)(params, inputs)
+    assert preds["flow"].shape == (1, H, W, 2)
+    finest = "predict_flow0" if name == "2" else "predict_flow2"
+    assert finest in preds
+    if name != "2":
+        # multi-scale pyramid: flow6 at /64 ... flow2 at /4
+        for lvl, f in ((6, 64), (5, 32), (4, 16), (3, 8), (2, 4)):
+            p = preds[f"predict_flow{lvl}"]
+            assert p.shape == (1, H // f, W // f, 2), (lvl, p.shape)
+    else:
+        assert preds["predict_flow0"].shape == (1, H, W, 2)
+        assert preds["predict_flow1"].shape == (1, H // 2, W // 2, 2)
+        assert preds["predict_flow2"].shape == (1, H // 4, W // 4, 2)
+        assert preds["flow_css"].shape == (1, H, W, 2)
+        assert preds["flow_sd"].shape == (1, H, W, 2)
+
+
+@pytest.mark.parametrize("name", MODEL_NAMES)
+def test_loss_finite_and_positive(rng, name):
+    model = get_model(name)
+    params = model.init(jax.random.PRNGKey(1))
+    inputs = make_inputs(rng)
+    flow_gt = jnp.asarray(rng.randn(1, H, W, 2).astype(np.float32) * 3)
+    preds = model.apply(params, inputs)
+    loss = jax.jit(model.loss)(flow_gt, preds)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_flownet_s_param_names():
+    """Parameter tree keys match the reference slim scope names 1:1."""
+    model = get_model("s")
+    params = model.init(jax.random.PRNGKey(0))
+    expected = {
+        "conv1", "conv2", "conv3", "conv3_1", "conv4", "conv4_1",
+        "conv5", "conv5_1", "conv6", "conv6_1",
+        "predict_flow6", "predict_flow5", "predict_flow4",
+        "predict_flow3", "predict_flow2",
+        "deconv5", "deconv4", "deconv3", "deconv2",
+        "upsample_flow6to5", "upsample_flow5to4",
+        "upsample_flow4to3", "upsample_flow3to2",
+    }
+    assert set(params) == expected
+    assert params["conv1"]["weights"].shape == (7, 7, 6, 64)
+    assert params["deconv5"]["weights"].shape == (4, 4, 1024, 512)
+    assert params["predict_flow2"]["weights"].shape == (3, 3, 194, 2)
+
+
+def test_flownet2_param_scoping():
+    """Nested pytree mirrors FlowNet2/FlowNetCSS/FlowNetCS/FlowNetC/..."""
+    model = get_model("2")
+    params = model.init(jax.random.PRNGKey(0))
+    assert "conv1" in params["FlowNetCSS"]["FlowNetCS"]["FlowNetC"]
+    assert "conv0" in params["FlowNetSD"]
+    assert params["fuse_conv0"]["weights"].shape[2] == 11
+    # second-stage S nets take 12-channel stacked input
+    assert (
+        params["FlowNetCSS"]["FlowNetS"]["conv1"]["weights"].shape[2] == 12
+    )
+
+
+def test_gradients_flow_through_flownet_s(rng):
+    model = get_model("s")
+    params = model.init(jax.random.PRNGKey(2))
+    inputs = make_inputs(rng)
+    flow_gt = jnp.asarray(rng.randn(1, H, W, 2).astype(np.float32))
+
+    def loss_fn(p):
+        return model.loss(flow_gt, model.apply(p, inputs))
+
+    grads = jax.jit(jax.grad(loss_fn))(params)
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    norms = [float(jnp.linalg.norm(g)) for g in flat]
+    assert all(np.isfinite(n) for n in norms)
+    assert sum(n > 0 for n in norms) >= len(norms) - 2  # nearly all touched
+
+
+def test_conv_matches_caffe_padding_grid(rng):
+    """Stride-2 conv uses symmetric (k-1)//2 padding (Caffe), not TF SAME.
+
+    With a 5x5 stride-2 conv and an identity-like kernel picking the
+    center tap, output[i,j] must equal input[2i, 2j].
+    """
+    x = jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32))
+    w = np.zeros((5, 5, 1, 1), np.float32)
+    w[2, 2, 0, 0] = 1.0
+    p = {"weights": jnp.asarray(w), "biases": jnp.zeros((1,))}
+    y = common.conv(p, x, stride=2, act=False)
+    np.testing.assert_allclose(
+        np.asarray(y)[0, :, :, 0], np.asarray(x)[0, ::2, ::2, 0], atol=1e-6
+    )
+
+
+def test_deconv_exact_2x_and_alignment(rng):
+    """Deconv doubles resolution; a delta kernel reproduces Caffe pad=1."""
+    x = jnp.asarray(rng.randn(1, 8, 8, 1).astype(np.float32))
+    w = np.zeros((4, 4, 1, 1), np.float32)
+    w[1, 1, 0, 0] = 1.0  # after pad=2 cropping, this lands on even pixels
+    p = {"weights": jnp.asarray(w), "biases": jnp.zeros((1,))}
+    y = common.deconv(p, x, act=False)
+    assert y.shape == (1, 16, 16, 1)
+
+
+@pytest.mark.slow
+def test_deconv_matches_tf1_conv2d_transpose(rng):
+    """Lock the deconv arithmetic to TF1 conv2d_transpose(SAME, s=2, k=4)
+    given the converter's kernel re-layout (mirror + transpose)."""
+    tf = pytest.importorskip("tensorflow")
+    x = rng.randn(1, 8, 8, 3).astype(np.float32)
+    tf_w = rng.randn(4, 4, 5, 3).astype(np.float32)  # [h, w, out, in]
+    want = tf.compat.v1.nn.conv2d_transpose(
+        tf.constant(x),
+        tf.constant(tf_w),
+        output_shape=(1, 16, 16, 5),
+        strides=(1, 2, 2, 1),
+        padding="SAME",
+    ).numpy()
+    # converter layout: mirror spatially, then [h, w, out, in]->[h, w, in, out]
+    jax_w = tf_w[::-1, ::-1].transpose(0, 1, 3, 2)
+    p = {"weights": jnp.asarray(jax_w), "biases": jnp.zeros((5,))}
+    got = np.asarray(common.deconv(p, jnp.asarray(x), act=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_channel_norm(rng):
+    x = jnp.asarray(rng.randn(2, 4, 4, 3).astype(np.float32))
+    got = np.asarray(common.channel_norm(x))
+    want = np.linalg.norm(np.asarray(x), axis=-1, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_average_endpoint_error_reference_normalization():
+    """Sum over pixels, divided by batch (reference utils.py semantics)."""
+    gt = jnp.zeros((2, 4, 4, 2))
+    pred = jnp.ones((2, 4, 4, 2))
+    # per-pixel EPE = sqrt(2); 16 pixels; batch 2 -> sum/batch = 16*sqrt(2)
+    got = float(common.average_endpoint_error(gt, pred))
+    np.testing.assert_allclose(got, 16 * np.sqrt(2), rtol=1e-5)
