@@ -1,0 +1,107 @@
+"""Benchmark harness: frame pairs/sec/chip on the headline config.
+
+Headline metric (BASELINE.json): FlowNet2 frame pairs/sec/chip at
+448x1024 (Sintel padded). ``vs_baseline`` is measured against the
+reference method's published runtime: FlowNet2 at ~123 ms/pair on a GTX
+1080 (= 8.13 pairs/sec; the repo itself publishes no numbers —
+BASELINE.md).
+
+Methodology: N forward passes are chained inside one jitted
+``lax.scan`` with an iteration-dependent input perturbation (prevents
+loop-invariant hoisting) and only a scalar leaves the device. Two scan
+lengths are timed and differenced, which cancels per-call dispatch/RPC
+overhead — required here because the axon tunnel has ~28 ms call latency
+and ``block_until_ready`` does not actually synchronize through it.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_PAIRS_PER_SEC = 1000.0 / 123.0  # FlowNet2 paper, GTX 1080
+
+
+def _timed_scan_call(fn, n):
+    t0 = time.perf_counter()
+    v = float(fn(n))
+    t1 = time.perf_counter()
+    assert np.isfinite(v), v
+    return t1 - t0
+
+
+def run_bench(model="2", height=448, width=1024, batch=1, iters=16,
+              compute_dtype="bfloat16", repeats=2):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from flownet2_tf_tpu.models.registry import get_model
+
+    m = get_model(model)
+    params = m.init(jax.random.PRNGKey(0))
+    cd = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(batch, height, width, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(batch, height, width, 3).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def chained(n, params, a, b):
+        def body(_, x):
+            # iteration-dependent input: defeats loop-invariant hoisting
+            preds = m.apply(
+                params,
+                {"input_a": a + x, "input_b": b},
+                compute_dtype=cd,
+            )
+            return None, preds["flow"].mean()
+        xs = jnp.arange(n, dtype=jnp.float32) * 1e-12
+        _, ys = lax.scan(body, None, xs)
+        return ys.sum()
+
+    n_small, n_big = 2, 2 + iters
+    f_small = lambda n=n_small: chained(n, params, a, b)  # noqa: E731
+    f_big = lambda n=n_big: chained(n, params, a, b)  # noqa: E731
+
+    # compile both variants
+    _timed_scan_call(f_small, n_small)
+    _timed_scan_call(f_big, n_big)
+
+    best = float("inf")
+    for _ in range(repeats):
+        t_small = _timed_scan_call(f_small, n_small)
+        t_big = _timed_scan_call(f_big, n_big)
+        per_pair = (t_big - t_small) / (n_big - n_small) / batch
+        best = min(best, per_pair)
+
+    pairs_per_sec = 1.0 / best
+    return {
+        "metric": f"flownet{model}_pairs_per_sec_{height}x{width}_b{batch}"
+                  f"_{compute_dtype}",
+        "value": round(pairs_per_sec, 3),
+        "unit": "frame_pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
+        "ms_per_pair": round(1000.0 * best, 3),
+        "backend": jax.default_backend(),
+    }
+
+
+def main():
+    result = run_bench()
+    print(json.dumps({
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,254 @@
+"""Unified CLI: ``python -m flownet2_tf_tpu.cli <command>``.
+
+Replaces the reference's per-package entry points (``python -m
+src.flownet2.test --input_a ... --input_b ... --out ./``, ``python -m
+src.flownet_s.train`` — reference ``src/flownet_*/train.py``/``test.py``)
+with one model-/dataset-parameterized CLI (SURVEY.md §5 config row):
+
+    train    train a model (synthetic data, FlyingChairs raw, TFRecords)
+    test     single-pair inference -> .flo / flow PNG
+    eval     dataset AEE evaluation (Sintel / KITTI / chairs / synthetic)
+    bench    throughput benchmark on the current backend
+    convert  TF1 checkpoint -> native .npz parameter tree
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common_model_arg(p):
+    p.add_argument(
+        "--model", default="s",
+        help="model name: s, c, cs, css, sd, 2 (or flownet_* aliases)",
+    )
+
+
+def cmd_train(args):
+    from flownet2_tf_tpu.data.dataset_configs import get_dataset_config
+    from flownet2_tf_tpu.data.loader import (
+        BatchLoader,
+        SyntheticFlowDataset,
+        load_batch,
+    )
+    from flownet2_tf_tpu.training.loop import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        model=args.model,
+        schedule=args.schedule,
+        log_dir=args.log_dir or f"./logs/flownet_{args.model}",
+        seed=args.seed,
+        compute_dtype=args.compute_dtype,
+        augment=not args.no_augment,
+        max_steps=args.max_steps,
+        log_every=args.log_every,
+        checkpoint_every=args.checkpoint_every,
+    )
+    trainer = Trainer(cfg)
+
+    if args.synthetic:
+        ds = SyntheticFlowDataset(
+            size=args.synthetic_size, height=args.synthetic_height,
+            width=args.synthetic_width, seed=args.seed,
+        )
+        loader = BatchLoader(ds, batch_size=args.batch_size or 8)
+        # crop must stay a multiple of 64 (model stride constraint)
+        crop_h = max(64, args.synthetic_height // 64 * 64)
+        crop_w = max(64, args.synthetic_width // 64 * 64)
+        preprocess = None if args.no_augment else {
+            "crop_height": crop_h,
+            "crop_width": crop_w,
+            "image_a": {},
+            "image_b": {},
+        }
+    else:
+        dataset_config = dict(get_dataset_config(args.dataset))
+        if args.batch_size:
+            dataset_config["BATCH_SIZE"] = args.batch_size
+        if args.data_root:
+            dataset_config["RAW_ROOT"] = args.data_root
+        loader, preprocess = load_batch(dataset_config, "train")
+
+    warm = None
+    if args.warm_start:
+        warm = {}
+        for spec in args.warm_start:
+            path, src, dst = spec.split(":")
+            warm[path] = (src, dst)
+
+    trainer.fit(loader, preprocess=preprocess,
+                warm_start_checkpoints=warm)
+    return 0
+
+
+def cmd_test(args):
+    from flownet2_tf_tpu.training.infer import test_pair
+
+    flow = test_pair(
+        args.model,
+        args.ckpt,
+        args.input_a,
+        args.input_b,
+        args.out,
+        save_image=not args.no_image,
+        save_flo=not args.no_flo,
+        compute_dtype=args.compute_dtype,
+    )
+    print(
+        json.dumps(
+            {
+                "model": args.model,
+                "out_dir": args.out,
+                "flow_shape": list(flow.shape),
+                "mean_magnitude": float(
+                    (flow[..., 0] ** 2 + flow[..., 1] ** 2).mean() ** 0.5
+                ),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_eval(args):
+    from flownet2_tf_tpu.training.infer import evaluate_dataset, load_params
+
+    dataset = _make_eval_dataset(args)
+    params = load_params(args.ckpt)
+    aee = evaluate_dataset(
+        args.model, params, dataset,
+        compute_dtype=args.compute_dtype, limit=args.limit,
+        verbose=args.verbose,
+    )
+    print(json.dumps({
+        "model": args.model, "dataset": args.dataset,
+        "pairs": min(len(dataset), args.limit or len(dataset)),
+        "aee": aee,
+    }))
+    return 0
+
+
+def _make_eval_dataset(args):
+    from flownet2_tf_tpu.data import loader as L
+
+    name = args.dataset.lower()
+    if name == "synthetic":
+        return L.SyntheticFlowDataset(
+            size=args.limit or 8, height=128, width=128, seed=0
+        )
+    if name == "sintel":
+        return L.SintelDataset(args.data_root, render_pass=args.render_pass)
+    if name == "kitti":
+        return L.KittiDataset(args.data_root)
+    if name in ("chairs", "flying_chairs"):
+        return L.FlyingChairsRawDataset(args.data_root)
+    raise SystemExit(f"unknown eval dataset {args.dataset!r}")
+
+
+def cmd_bench(args):
+    import bench as bench_mod  # repo-root bench harness
+
+    result = bench_mod.run_bench(
+        model=args.model,
+        height=args.height,
+        width=args.width,
+        batch=args.batch,
+        iters=args.iters,
+        compute_dtype=args.compute_dtype,
+    )
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_convert(args):
+    from flownet2_tf_tpu.tools.convert_tf1_checkpoint import convert
+
+    n = convert(args.tf_checkpoint, args.model, args.out)
+    print(json.dumps({"converted_variables": n, "out": args.out}))
+    return 0
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(prog="flownet2_tf_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="train a model")
+    _add_common_model_arg(p)
+    p.add_argument("--dataset", default="chairs")
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--schedule", default="long",
+                   help="long (S_long), fine (S_fine), short")
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--checkpoint_every", type=int, default=2500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the procedural dataset (no downloads)")
+    p.add_argument("--synthetic_size", type=int, default=512)
+    p.add_argument("--synthetic_height", type=int, default=128)
+    p.add_argument("--synthetic_width", type=int, default=128)
+    p.add_argument(
+        "--warm_start", action="append", default=None,
+        metavar="PATH:SRC_SCOPE:DST_SCOPE",
+        help="splice a prior-stage checkpoint, e.g. "
+             "./logs/flownet_c::FlowNetC (repeatable)",
+    )
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("test", help="single-pair inference")
+    _add_common_model_arg(p)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--input_a", required=True)
+    p.add_argument("--input_b", required=True)
+    p.add_argument("--out", default="./")
+    p.add_argument("--no_image", action="store_true")
+    p.add_argument("--no_flo", action="store_true")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["bfloat16", "float32"])
+    p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("eval", help="dataset AEE evaluation")
+    _add_common_model_arg(p)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--dataset", default="sintel")
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--render_pass", default="clean",
+                   choices=["clean", "final"])
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["bfloat16", "float32"])
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    _add_common_model_arg(p)
+    p.add_argument("--height", type=int, default=448)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("convert", help="TF1 checkpoint -> .npz")
+    _add_common_model_arg(p)
+    p.add_argument("--tf_checkpoint", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_convert)
+
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

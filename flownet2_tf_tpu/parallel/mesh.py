@@ -1,0 +1,53 @@
+"""Device mesh + sharding layer (the reference has NO distributed surface
+— SURVEY.md §2.3; this is the TPU-native scaling plan built in its place).
+
+Strategy: pure data parallelism over a 1-D ``('data',)`` mesh — FlowNet2
+is ~160M params and fits on one chip, so DP over ICI is the right
+parallelism (TP/PP columns in SURVEY §2.3 are explicitly n/a). Parameters
+and optimizer state are replicated; the batch is sharded on 'data'. XLA
+inserts the gradient all-reduce over ICI automatically from the sharding
+annotations (no hand-written collectives needed for DP).
+
+The mesh axis list is extensible: a future spatial-sharding axis for
+beyond-HBM resolutions ('space', halo exchange via shard_map+ppermute) is
+documented as the SP analogue but not wired in v0.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """device_put a host batch with the batch axis sharded on the mesh."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
+    )

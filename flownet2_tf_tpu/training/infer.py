@@ -1,0 +1,152 @@
+"""Inference runtime: single-pair and dataset evaluation.
+
+Counterpart of the reference's ``Net.test`` (reference ``src/net.py``
+test(): imread pair, scale to [0,1], run graph, write flow PNG/.flo) plus
+the fork's dataset-list evaluation surface. Handles arbitrary input sizes
+by edge-padding up to the next multiple of 64 and cropping the flow back
+(SURVEY.md §7 hard part 5 — the reference implicitly required %64 inputs).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flownet2_tf_tpu.models.registry import get_model
+from flownet2_tf_tpu.training.warmstart import load_params_tree
+from flownet2_tf_tpu.utils import flowlib
+from flownet2_tf_tpu.utils.image_io import load_image_pair
+
+
+def load_params(path):
+    """Load params from an orbax run dir / converter .npz."""
+    return load_params_tree(path)
+
+
+def pad_to_multiple(x, multiple=64):
+    """Edge-pad NHWC bottom/right to the next multiple; returns (x, h, w)."""
+    n, h, w, c = x.shape
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph == 0 and pw == 0:
+        return x, h, w
+    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    return x, h, w
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _forward(model_name, params, inputs, compute_dtype_name):
+    model = get_model(model_name)
+    cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else None
+    a, h, w = pad_to_multiple(inputs["input_a"])
+    b, _, _ = pad_to_multiple(inputs["input_b"])
+    preds = model.apply(
+        params, {"input_a": a, "input_b": b}, compute_dtype=cd
+    )
+    return preds["flow"][:, :h, :w, :]
+
+
+def infer_flow(model_name, params, image_a, image_b,
+               compute_dtype="float32"):
+    """Run a model on a single pair or batch; returns full-res flow.
+
+    ``image_a/b``: (H, W, 3) or (N, H, W, 3) float arrays in [0, 1].
+    """
+    a = jnp.asarray(image_a, jnp.float32)
+    b = jnp.asarray(image_b, jnp.float32)
+    squeeze = a.ndim == 3
+    if squeeze:
+        a, b = a[None], b[None]
+    flow = _forward(
+        model_name, params, {"input_a": a, "input_b": b},
+        str(compute_dtype),
+    )
+    flow = np.asarray(flow)
+    return flow[0] if squeeze else flow
+
+
+def test_pair(model_name, checkpoint, input_a_path, input_b_path, out_dir,
+              save_image=True, save_flo=True, compute_dtype="float32"):
+    """The reference CLI flow: pair of image files -> .png / .flo outputs.
+
+    Returns the predicted (H, W, 2) flow.
+    """
+    params = load_params(checkpoint)
+    a, b = load_image_pair(input_a_path, input_b_path)
+    flow = infer_flow(model_name, params, a, b, compute_dtype=compute_dtype)
+    os.makedirs(out_dir, exist_ok=True)
+    stem = os.path.join(
+        out_dir,
+        os.path.splitext(os.path.basename(os.fspath(input_a_path)))[0]
+        + "_flow",
+    )
+    if save_flo:
+        flowlib.write_flow(flow, stem + ".flo")
+    if save_image:
+        flowlib.write_flow_png(flow, stem + ".png")
+    return flow
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _aee_on_device(model_name, params, batch, compute_dtype_name):
+    """Forward + masked AEE fully on device; only a scalar pair leaves.
+
+    Critical under the axon tunnel (bulk device->host fetches are
+    ~1000x slower than a scalar) and generally the TPU-appropriate eval
+    shape: no flow field ever crosses to the host.
+    """
+    model = get_model(model_name)
+    cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else None
+    a, h, w = pad_to_multiple(batch["input_a"])
+    b, _, _ = pad_to_multiple(batch["input_b"])
+    preds = model.apply(params, {"input_a": a, "input_b": b},
+                        compute_dtype=cd)
+    flow = preds["flow"][:, :h, :w, :]
+    gt = batch["flow"]
+    valid = batch.get("valid")
+    diff = flow - gt
+    epe = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1) + 1e-12)
+    if valid is not None:
+        total = jnp.sum(epe * valid)
+        count = jnp.sum(valid)
+    else:
+        total = jnp.sum(epe)
+        count = jnp.asarray(epe.size, jnp.float32)
+    return total, count
+
+
+def evaluate_dataset(model_name, params, dataset, compute_dtype="float32",
+                     limit=None, verbose=False):
+    """Average endpoint error over a dataset of {image_a, image_b, flow}.
+
+    Honors KITTI validity masks ((H, W, 3) ground truth). This is the
+    fork's dataset-list evaluation surface (SURVEY.md §2.1 test mains
+    [fork-delta]). The AEE reduction runs on device; only per-pair
+    scalars are fetched.
+    """
+    n = len(dataset) if limit is None else min(limit, len(dataset))
+    aee_sum = 0.0
+    for i in range(n):
+        item = dataset[i]
+        gt = np.asarray(item["flow"], np.float32)
+        batch = {
+            "input_a": jnp.asarray(item["image_a"], jnp.float32)[None],
+            "input_b": jnp.asarray(item["image_b"], jnp.float32)[None],
+        }
+        if gt.shape[-1] == 3:  # KITTI: [u, v, valid]
+            batch["flow"] = jnp.asarray(gt[..., :2])[None]
+            batch["valid"] = jnp.asarray(gt[..., 2])[None]
+        else:
+            batch["flow"] = jnp.asarray(gt)[None]
+        total, count = _aee_on_device(
+            model_name, params, batch, str(compute_dtype)
+        )
+        aee = float(total) / max(float(count), 1.0)
+        aee_sum += aee
+        if verbose:
+            print(f"  [{i + 1}/{n}] AEE {aee:.4f}")
+    return aee_sum / max(n, 1)

@@ -1,0 +1,296 @@
+"""Training runtime: jitted data-parallel train step, checkpointing,
+auto-resume, warm-start, metrics.
+
+This is the TPU-native counterpart of the reference's ``Net.train``
+(reference ``src/net.py`` train(): piecewise LR + AdamOptimizer,
+model/loss graph, summaries, slim warm-start from prior-stage
+checkpoints, slim.learning.train Supervisor loop with periodic save and
+auto-resume). Redesign:
+
+* one pure ``train_step(state, batch, key)`` jitted over a
+  ``Mesh(('data',))`` — params/opt state replicated, batch sharded; XLA
+  inserts the gradient all-reduce over ICI.
+* device-side augmentation INSIDE the step (data/augmentation.py), so
+  the host only feeds raw decoded batches.
+* orbax CheckpointManager: async save every N steps, keep-K, auto-resume
+  from the latest checkpoint in log_dir (Supervisor semantics).
+* stage warm-starting via pytree-path mapping (training/warmstart.py) +
+  frozen sub-scopes with zeroed gradients.
+* metrics: loss, lr, grad-norm, full-res EPE, examples/sec — JSON lines
+  on stdout and TensorBoard scalars/images via the framework's own event
+  writer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from flownet2_tf_tpu.data import augmentation
+from flownet2_tf_tpu.models.common import endpoint_error_mean
+from flownet2_tf_tpu.models.registry import get_model
+from flownet2_tf_tpu.parallel import mesh as mesh_lib
+from flownet2_tf_tpu.training import optim
+from flownet2_tf_tpu.utils.schedules import get_schedule
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: str = "s"
+    schedule: Any = "long"  # name or schedule dict
+    log_dir: str = "./logs/flownet_s"
+    seed: int = 0
+    compute_dtype: str = "bfloat16"  # 'bfloat16' | 'float32'
+    augment: bool = True
+    frozen: Optional[Sequence[str]] = None  # None -> model default
+    max_steps: Optional[int] = None  # None -> schedule max_iter
+    log_every: int = 100
+    checkpoint_every: int = 2500
+    keep_checkpoints: int = 5
+    tensorboard: bool = True
+    image_summary_every: int = 0  # 0 = off
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig, mesh=None):
+        self.config = config
+        self.model = get_model(config.model)
+        self.schedule = (
+            get_schedule(config.schedule)
+            if isinstance(config.schedule, str)
+            else dict(config.schedule)
+        )
+        self.optimizer, self.lr_fn = optim.make_optimizer(self.schedule)
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self.frozen = tuple(
+            self.model.default_frozen
+            if config.frozen is None
+            else config.frozen
+        )
+        self.compute_dtype = (
+            jnp.bfloat16
+            if str(config.compute_dtype) in ("bfloat16", "bf16")
+            else None
+        )
+        self._ckpt_mgr = None
+        self._step_fn_cache = {}
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, rng_key=None):
+        key = (
+            rng_key
+            if rng_key is not None
+            else jax.random.PRNGKey(self.config.seed)
+        )
+        params = self.model.init(key)
+        opt_state = self.optimizer.init(params)
+        state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32),
+        }
+        return mesh_lib.replicate(self.mesh, state)
+
+    # -- checkpointing (orbax) ---------------------------------------------
+
+    def checkpoint_manager(self):
+        if self._ckpt_mgr is None:
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(
+                os.path.join(self.config.log_dir, "checkpoints")
+            )
+            os.makedirs(path, exist_ok=True)
+            self._ckpt_mgr = ocp.CheckpointManager(
+                path,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.config.keep_checkpoints,
+                    enable_async_checkpointing=True,
+                ),
+            )
+        return self._ckpt_mgr
+
+    def save(self, state, wait: bool = False):
+        mgr = self.checkpoint_manager()
+        import orbax.checkpoint as ocp
+
+        step = int(jax.device_get(state["step"]))
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            mgr.wait_until_finished()
+
+    def restore_or_init(self):
+        """Auto-resume from the latest checkpoint in log_dir, else init."""
+        mgr = self.checkpoint_manager()
+        latest = mgr.latest_step()
+        init = self.init_state()
+        if latest is None:
+            return init, False
+        import orbax.checkpoint as ocp
+
+        abstract = jax.tree_util.tree_map(np.asarray, jax.device_get(init))
+        restored = mgr.restore(
+            latest, args=ocp.args.StandardRestore(abstract)
+        )
+        return mesh_lib.replicate(self.mesh, restored), True
+
+    def warm_start(self, state, checkpoints: dict):
+        """Load prior-stage checkpoints into sub-scopes.
+
+        ``checkpoints``: {ckpt_dir_or_file: (src_scope, dst_scope)} — the
+        reference's stacked-training dict (src scope inside the saved
+        tree, dst scope inside this model's tree); '' selects the root.
+        """
+        from flownet2_tf_tpu.training import warmstart
+
+        params = jax.device_get(state["params"])
+        params = warmstart.apply_warm_starts(params, checkpoints)
+        state = dict(state)
+        state["params"] = mesh_lib.replicate(self.mesh, params)
+        return state
+
+    # -- the step -----------------------------------------------------------
+
+    def _build_step(self, aug_spec_key, preprocess):
+        model = self.model
+        optimizer = self.optimizer
+        lr_fn = self.lr_fn
+        frozen = self.frozen
+        weight_decay = float(self.schedule.get("weight_decay", 0.0))
+        compute_dtype = self.compute_dtype
+        augment = self.config.augment and preprocess is not None
+
+        def loss_fn(params, batch, key):
+            image_a = batch["image_a"]
+            image_b = batch["image_b"]
+            flow = batch["flow"]
+            if augment:
+                image_a, image_b, flow = augmentation._augment_impl_frozen(
+                    key, image_a, image_b, flow,
+                    (int(preprocess["crop_height"]),
+                     int(preprocess["crop_width"])),
+                    augmentation._freeze(preprocess.get("image_a", {})),
+                    augmentation._freeze(preprocess.get("image_b", {})),
+                )
+            preds = model.apply(
+                params,
+                {"input_a": image_a, "input_b": image_b},
+                training=True,
+                compute_dtype=compute_dtype,
+            )
+            data_loss = model.loss(flow, preds)
+            reg = optim.l2_regularization(params, frozen)
+            total = data_loss + weight_decay * reg
+            epe = endpoint_error_mean(flow, preds["flow"])
+            return total, {"data_loss": data_loss, "epe": epe}
+
+        def step(state, batch, key):
+            params = state["params"]
+            (total, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch, key)
+            grads = optim.zero_frozen_grads(grads, frozen)
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(
+                grads, state["opt_state"], params
+            )
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, params, updates
+            )
+            new_state = {
+                "params": params,
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+            }
+            metrics = {
+                "loss": total,
+                "data_loss": aux["data_loss"],
+                "epe": aux["epe"],
+                "grad_norm": gnorm,
+                "lr": lr_fn(state["step"]),
+            }
+            return new_state, metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def get_step_fn(self, preprocess):
+        key = json.dumps(preprocess, sort_keys=True, default=str) \
+            if preprocess else ""
+        if key not in self._step_fn_cache:
+            self._step_fn_cache[key] = self._build_step(key, preprocess)
+        return self._step_fn_cache[key]
+
+    # -- the loop -----------------------------------------------------------
+
+    def fit(self, loader, preprocess=None, max_steps=None, state=None,
+            warm_start_checkpoints=None):
+        cfg = self.config
+        if max_steps is None:
+            max_steps = (
+                cfg.max_steps
+                if cfg.max_steps is not None
+                else int(self.schedule["max_iter"])
+            )
+        if state is None:
+            state, resumed = self.restore_or_init()
+            if not resumed and warm_start_checkpoints:
+                state = self.warm_start(state, warm_start_checkpoints)
+
+        step_fn = self.get_step_fn(preprocess)
+        writer = None
+        if cfg.tensorboard:
+            from flownet2_tf_tpu.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(cfg.log_dir)
+
+        key = jax.random.PRNGKey(cfg.seed + 17)
+        start_step = int(jax.device_get(state["step"]))
+        t_last = time.time()
+        examples_since = 0
+        step = start_step
+        batch_iter = loader.batches()
+        try:
+            while step < max_steps:
+                batch = next(batch_iter, None)
+                if batch is None:
+                    break
+                device_batch = mesh_lib.shard_batch(self.mesh, batch)
+                key, sub = jax.random.split(key)
+                state, metrics = step_fn(state, device_batch, sub)
+                step += 1
+                examples_since += batch["image_a"].shape[0]
+
+                if step % cfg.log_every == 0 or step == max_steps:
+                    metrics = {
+                        k: float(jax.device_get(v))
+                        for k, v in metrics.items()
+                    }
+                    now = time.time()
+                    metrics["examples_per_sec"] = examples_since / max(
+                        now - t_last, 1e-9
+                    )
+                    t_last, examples_since = now, 0
+                    record = {"step": step, **{
+                        k: round(v, 6) for k, v in metrics.items()
+                    }}
+                    print(json.dumps(record), flush=True)
+                    if writer:
+                        writer.scalars(metrics, step)
+                        writer.flush()
+                if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
+                    self.save(state)
+        finally:
+            if self._ckpt_mgr is not None:
+                self.save(state, wait=True)
+            if writer:
+                writer.close()
+        return state

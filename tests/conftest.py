@@ -3,19 +3,36 @@
 Must set XLA flags BEFORE jax initializes its backends (the standard JAX
 fake-backend trick, SURVEY.md §4): tests never require real TPU hardware;
 the driver's dryrun and bench exercise the TPU path separately.
+
+NOTE: in this environment the ``axon`` TPU plugin ignores the
+``JAX_PLATFORMS`` env var — ``JAX_PLATFORM_NAME`` and the config API are
+the ones that stick, so both are set defensively.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the virtual CPU backend, got "
+        f"{jax.default_backend()}"
+    )
+    assert len(jax.devices()) == 8
 
 
 @pytest.fixture

@@ -1,0 +1,244 @@
+"""CLI, inference runtime, Net facade, TensorBoard writer, converter."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from flownet2_tf_tpu import cli
+from flownet2_tf_tpu.models.registry import get_model
+from flownet2_tf_tpu.training import warmstart
+from flownet2_tf_tpu.training.infer import infer_flow, pad_to_multiple
+from flownet2_tf_tpu.utils import flowlib
+from flownet2_tf_tpu.utils.image_io import write_image
+
+
+def _write_ppm_pair(tmp_path, rng, h=100, w=120):
+    a = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    b = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    pa = tmp_path / "a.ppm"
+    pb = tmp_path / "b.ppm"
+    # write binary P6 by hand (exercises our own reader too)
+    for path, img in ((pa, a), (pb, b)):
+        with open(path, "wb") as f:
+            f.write(b"P6\n%d %d\n255\n" % (w, h))
+            f.write(img.tobytes())
+    return pa, pb
+
+
+def _save_random_ckpt(tmp_path, model_name="s"):
+    params = jax.device_get(get_model(model_name).init(jax.random.PRNGKey(0)))
+    path = tmp_path / f"ck_{model_name}.npz"
+    np.savez(path, **warmstart.flatten(params))
+    return str(path)
+
+
+def test_pad_to_multiple():
+    import jax.numpy as jnp
+
+    x = jnp.zeros((1, 100, 130, 3))
+    padded, h, w = pad_to_multiple(x)
+    assert padded.shape == (1, 128, 192, 3)
+    assert (h, w) == (100, 130)
+    y = jnp.zeros((1, 64, 128, 3))
+    same, _, _ = pad_to_multiple(y)
+    assert same.shape == y.shape
+
+
+def test_infer_arbitrary_size(rng):
+    """Non-%64 inputs work through the inference runtime (pad + crop)."""
+    params = get_model("s").init(jax.random.PRNGKey(0))
+    a = rng.rand(100, 120, 3).astype(np.float32)
+    b = rng.rand(100, 120, 3).astype(np.float32)
+    flow = infer_flow("s", params, a, b)
+    assert flow.shape == (100, 120, 2)
+    assert np.isfinite(flow).all()
+
+
+def test_cli_test_subcommand(tmp_path, rng, capsys):
+    pa, pb = _write_ppm_pair(tmp_path, rng)
+    ckpt = _save_random_ckpt(tmp_path)
+    out_dir = tmp_path / "out"
+    rc = cli.main([
+        "test", "--model", "s", "--ckpt", ckpt,
+        "--input_a", str(pa), "--input_b", str(pb),
+        "--out", str(out_dir),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["flow_shape"] == [100, 120, 2]
+    flo = out_dir / "a_flow.flo"
+    png = out_dir / "a_flow.png"
+    assert flo.exists() and png.exists()
+    flow = flowlib.read_flow(flo)
+    assert flow.shape == (100, 120, 2)
+
+
+def test_cli_eval_synthetic(tmp_path, capsys):
+    ckpt = _save_random_ckpt(tmp_path)
+    rc = cli.main([
+        "eval", "--model", "s", "--ckpt", ckpt,
+        "--dataset", "synthetic", "--limit", "2",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["pairs"] == 2
+    assert np.isfinite(report["aee"])
+
+
+def test_net_facade_test(tmp_path, rng):
+    from flownet2_tf_tpu.net import FlowNetS, Mode
+
+    pa, pb = _write_ppm_pair(tmp_path, rng, h=64, w=64)
+    ckpt = _save_random_ckpt(tmp_path)
+    net = FlowNetS(mode=Mode.TEST)
+    flow = net.test(ckpt, pa, pb, str(tmp_path / "o"), save_flo=True)
+    assert flow.shape == (64, 64, 2)
+    assert (tmp_path / "o" / "a_flow.flo").exists()
+
+
+def test_sintel_kitti_dataset_layouts(tmp_path, rng):
+    """Loader discovers standard on-disk layouts (tiny fabricated trees)."""
+    from flownet2_tf_tpu.data.loader import KittiDataset, SintelDataset
+
+    # Sintel
+    sr = tmp_path / "sintel"
+    img = sr / "training" / "clean" / "alley_1"
+    flo = sr / "training" / "flow" / "alley_1"
+    img.mkdir(parents=True)
+    flo.mkdir(parents=True)
+    for i in (1, 2, 3):
+        write_image((rng.rand(32, 48, 3) * 255).astype(np.uint8),
+                    img / f"frame_{i:04d}.png")
+    for i in (1, 2):
+        flowlib.write_flow(rng.randn(32, 48, 2).astype(np.float32),
+                           flo / f"frame_{i:04d}.flo")
+    ds = SintelDataset(sr, render_pass="clean")
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["image_a"].shape == (32, 48, 3)
+    assert item["flow"].shape == (32, 48, 2)
+
+    # KITTI
+    kr = tmp_path / "kitti"
+    (kr / "training" / "colored_0").mkdir(parents=True)
+    (kr / "training" / "flow_occ").mkdir(parents=True)
+    for stem in ("000000", "000001"):
+        for suf in ("_10.png", "_11.png"):
+            write_image((rng.rand(20, 30, 3) * 255).astype(np.uint8),
+                        kr / "training" / "colored_0" / (stem + suf))
+        flowlib.write_kitti_png_flow(
+            rng.randn(20, 30, 2).astype(np.float32),
+            kr / "training" / "flow_occ" / (stem + "_10.png"),
+        )
+    kds = KittiDataset(kr)
+    assert len(kds) == 2
+    kitem = kds[0]
+    assert kitem["flow"].shape == (20, 30, 3)  # with validity mask
+
+
+def test_tensorboard_event_file(tmp_path):
+    from flownet2_tf_tpu.data import tfrecord
+    from flownet2_tf_tpu.utils.tensorboard import SummaryWriter
+
+    w = SummaryWriter(str(tmp_path))
+    w.scalar("loss", 1.5, step=10)
+    w.scalars({"a": 1.0, "b": 2.0}, step=11)
+    w.image("viz", np.zeros((8, 8, 3), np.uint8), step=12)
+    w.close()
+    files = [f for f in os.listdir(tmp_path) if "tfevents" in f]
+    assert len(files) == 1
+    records = list(tfrecord.read_records(tmp_path / files[0]))
+    assert len(records) == 4  # header + 3 events
+    # second record: Event{wall_time(1), step(2), summary(5)}
+    fields = {f: v for f, v, _ in tfrecord._iter_fields(records[1])}
+    assert fields[2] == 10  # step varint
+    summary_fields = list(tfrecord._iter_fields(fields[5]))
+    value = summary_fields[0][1]
+    vfields = {f: v for f, v, _ in tfrecord._iter_fields(value)}
+    assert vfields[1] == b"loss"
+    import struct
+
+    assert struct.unpack("<f", vfields[2])[0] == pytest.approx(1.5)
+
+
+def test_convert_variables_mapping(rng):
+    from flownet2_tf_tpu.tools.convert_tf1_checkpoint import (
+        convert_variables,
+    )
+
+    conv_w = rng.randn(7, 7, 6, 64).astype(np.float32)
+    deconv_w = rng.randn(4, 4, 512, 1024).astype(np.float32)  # [h,w,out,in]
+    tf_vars = {
+        "FlowNetS/conv1/weights": conv_w,
+        "FlowNetS/conv1/biases": np.zeros(64, np.float32),
+        "FlowNetS/deconv5/weights": deconv_w,
+        "FlowNetS/deconv5/biases": np.zeros(512, np.float32),
+        "FlowNetS/conv1/weights/Adam": conv_w,  # slot var: dropped
+        "global_step": np.int64(7),
+        "beta1_power": np.float32(0.9),
+    }
+    flat = convert_variables(tf_vars)
+    assert set(flat) == {
+        "conv1/weights", "conv1/biases", "deconv5/weights",
+        "deconv5/biases",
+    }
+    np.testing.assert_array_equal(flat["conv1/weights"], conv_w)
+    assert flat["deconv5/weights"].shape == (4, 4, 1024, 512)
+    np.testing.assert_array_equal(
+        flat["deconv5/weights"],
+        deconv_w[::-1, ::-1].transpose(0, 1, 3, 2),
+    )
+    # upsample_flow layers are deconvs too
+    up = rng.randn(4, 4, 2, 2).astype(np.float32)
+    flat2 = convert_variables(
+        {"FlowNetCS/FlowNetS/upsample_flow6to5/weights": up}
+    )
+    np.testing.assert_array_equal(
+        flat2["FlowNetS/upsample_flow6to5/weights"],
+        up[::-1, ::-1].transpose(0, 1, 3, 2),
+    )
+
+
+@pytest.mark.slow
+def test_convert_real_tf1_checkpoint(tmp_path):
+    """Round-trip a real TF1-style checkpoint for FlowNetS: build slim-
+    scoped variables in TF, save, convert, and verify 100% coverage."""
+    tf = pytest.importorskip("tensorflow")
+    model = get_model("s")
+    params = jax.device_get(model.init(jax.random.PRNGKey(0)))
+    flat = warmstart.flatten(params)
+
+    tf1 = tf.compat.v1
+    graph = tf.Graph()
+    with graph.as_default():
+        for path, value in flat.items():
+            layer = path.rsplit("/", 1)[0]
+            kind = path.rsplit("/", 1)[1]
+            if kind == "weights" and any(
+                layer.startswith(p) for p in ("deconv", "upsample_flow")
+            ):
+                # store in TF conv2d_transpose layout: mirror + [h,w,out,in]
+                value = value[::-1, ::-1].transpose(0, 1, 3, 2)
+            tf1.get_variable(
+                f"FlowNetS/{path}", initializer=tf.constant(value)
+            )
+        saver = tf1.train.Saver()
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            ckpt_path = saver.save(
+                sess, str(tmp_path / "flownet-S.ckpt"), global_step=0
+            )
+
+    from flownet2_tf_tpu.tools.convert_tf1_checkpoint import convert
+
+    out = str(tmp_path / "converted.npz")
+    n = convert(ckpt_path, "s", out)
+    assert n == len(flat)
+    loaded = warmstart.load_params_tree(out)
+    flat2 = warmstart.flatten(loaded)
+    for k in flat:
+        np.testing.assert_allclose(flat2[k], flat[k], atol=1e-6)

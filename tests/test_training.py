@@ -1,0 +1,169 @@
+"""Training-runtime tests: optimizer parity pieces, the jitted DP step on
+a virtual 8-device mesh, checkpoint/resume, warm-start, freezing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flownet2_tf_tpu.data.loader import BatchLoader, SyntheticFlowDataset
+from flownet2_tf_tpu.parallel import mesh as mesh_lib
+from flownet2_tf_tpu.training import optim, warmstart
+from flownet2_tf_tpu.training.loop import TrainConfig, Trainer
+from flownet2_tf_tpu.utils.schedules import LONG_SCHEDULE, make_lr_schedule
+
+
+SMOKE_SCHEDULE = {
+    "name": "smoke",
+    "step_values": [40],
+    "learning_rates": [3e-4, 1e-4],
+    "momentum": 0.9,
+    "momentum2": 0.999,
+    "weight_decay": 1e-6,
+    "max_iter": 60,
+}
+
+
+def test_lr_schedule_piecewise_constant():
+    lr = make_lr_schedule(LONG_SCHEDULE)
+    assert float(lr(0)) == pytest.approx(1e-4)
+    assert float(lr(399_999)) == pytest.approx(1e-4)
+    assert float(lr(400_000)) == pytest.approx(5e-5)
+    assert float(lr(999_999)) == pytest.approx(1.25e-5, rel=1e-5)
+    assert float(lr(1_000_000)) == pytest.approx(6.25e-6, rel=1e-5)
+
+
+def test_l2_regularization_weights_only():
+    params = {
+        "conv1": {"weights": jnp.ones((2, 2, 1, 1)), "biases": jnp.ones((1,))},
+        "sub": {"conv2": {"weights": 2 * jnp.ones((1, 1, 1, 1)),
+                          "biases": jnp.ones((1,))}},
+    }
+    # 0.5*(4*1) + 0.5*(1*4) = 2 + 2 = 4; biases excluded
+    assert float(optim.l2_regularization(params)) == pytest.approx(4.0)
+    # frozen scope excluded
+    assert float(
+        optim.l2_regularization(params, frozen=("sub",))
+    ) == pytest.approx(2.0)
+
+
+def test_mesh_uses_all_virtual_devices():
+    mesh = mesh_lib.make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+
+
+@pytest.mark.slow
+def test_train_smoke_loss_decreases(tmp_path):
+    """End-to-end: 60 DP steps on the 8-device mesh, synthetic data,
+    loss at the end < loss at the start."""
+    ds = SyntheticFlowDataset(size=64, height=64, width=64, seed=0,
+                              max_flow=3.0)
+    loader = BatchLoader(ds, batch_size=8, shuffle=True, num_workers=2)
+    cfg = TrainConfig(
+        model="s",
+        schedule=SMOKE_SCHEDULE,
+        log_dir=str(tmp_path / "run"),
+        compute_dtype="float32",
+        augment=False,
+        log_every=10,
+        checkpoint_every=0,
+        tensorboard=True,
+    )
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    step_fn = trainer.get_step_fn(None)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    it = loader.batches()
+    for i in range(60):
+        batch = mesh_lib.shard_batch(trainer.mesh, next(it))
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-10:]) < 0.5 * np.mean(losses[:10]), (
+        losses[:5], losses[-5:]
+    )
+
+
+@pytest.mark.slow
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    ds = SyntheticFlowDataset(size=16, height=64, width=64)
+    loader = BatchLoader(ds, batch_size=8, shuffle=False, num_workers=1)
+    cfg = TrainConfig(
+        model="s",
+        schedule=SMOKE_SCHEDULE,
+        log_dir=str(tmp_path / "run"),
+        compute_dtype="float32",
+        augment=False,
+        log_every=1000,
+        checkpoint_every=0,
+        tensorboard=False,
+    )
+    trainer = Trainer(cfg)
+    state = trainer.fit(loader, max_steps=3)
+    trainer.save(state, wait=True)
+
+    trainer2 = Trainer(cfg)
+    restored, resumed = trainer2.restore_or_init()
+    assert resumed
+    assert int(jax.device_get(restored["step"])) == 3
+    p0 = jax.device_get(state["params"])
+    p1 = jax.device_get(restored["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warmstart_scope_splice():
+    from flownet2_tf_tpu.models.registry import get_model
+
+    c_params = get_model("c").init(jax.random.PRNGKey(1))
+    cs_params = jax.device_get(get_model("cs").init(jax.random.PRNGKey(2)))
+    flat_c = warmstart.flatten(jax.device_get(c_params))
+    # splice via the pure helpers (no file IO)
+    sub = warmstart.get_scope({"FlowNetC": jax.device_get(c_params)},
+                              "FlowNetC")
+    warmstart._check_compatible(cs_params["FlowNetC"], sub, "FlowNetC")
+    out = warmstart.set_scope(dict(cs_params), "FlowNetC", sub)
+    flat_out = warmstart.flatten(out["FlowNetC"])
+    for k in flat_c:
+        np.testing.assert_array_equal(flat_out[k], flat_c[k])
+
+
+def test_warmstart_npz_roundtrip(tmp_path):
+    from flownet2_tf_tpu.models.registry import get_model
+
+    params = jax.device_get(get_model("s").init(jax.random.PRNGKey(3)))
+    flat = warmstart.flatten(params)
+    np.savez(tmp_path / "ck.npz", **flat)
+    loaded = warmstart.load_params_tree(tmp_path / "ck.npz")
+    flat2 = warmstart.flatten(loaded)
+    assert set(flat) == set(flat2)
+    np.testing.assert_array_equal(
+        flat["conv1/weights"], flat2["conv1/weights"]
+    )
+    # shape mismatch must raise
+    bad = dict(flat)
+    bad["conv1/weights"] = bad["conv1/weights"][..., :1]
+    with pytest.raises(ValueError):
+        warmstart._check_compatible(params, warmstart.unflatten(bad), "")
+
+
+def test_zero_frozen_grads_keeps_params_fixed():
+    """Frozen scope params must not move under adam when grads zeroed."""
+    import optax
+
+    params = {
+        "A": {"weights": jnp.ones((2,)), "biases": jnp.zeros((2,))},
+        "B": {"weights": jnp.ones((2,)), "biases": jnp.zeros((2,))},
+    }
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    for _ in range(3):
+        g = optim.zero_frozen_grads(grads, ("A",))
+        updates, opt_state = opt.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(np.asarray(params["A"]["weights"]), 1.0)
+    assert not np.allclose(np.asarray(params["B"]["weights"]), 1.0)
