@@ -160,32 +160,15 @@ def invert_affine(theta):
     return jnp.stack([row_x, row_y], axis=1)
 
 
+from flownet2_tf_tpu.ops.sampling import bilinear_gather as _bilinear_xy
+
+
 def _bilinear_gather(image, x, y):
-    """Sample NHWC ``image`` at per-batch float coords (B, h, w), clamped."""
-    n, h, w, c = image.shape
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = (x - x0)[..., None]
-    wy = (y - y0)[..., None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
-    flat = image.reshape(n, h * w, c)
+    """Sample NHWC ``image`` at per-batch float coords (B, h, w), clamped.
 
-    def take(yi, xi):
-        idx = (yi * w + xi).reshape(n, -1)
-        return jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(
-            x.shape + (c,)
-        )
-
-    v00 = take(y0i, x0i)
-    v01 = take(y0i, x1i)
-    v10 = take(y1i, x0i)
-    v11 = take(y1i, x1i)
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    Delegates to the TPU-shaped neighbor-packed sampler (ops/sampling.py).
+    """
+    return _bilinear_xy(image, x, y)
 
 
 def _output_grid(theta, out_hw):

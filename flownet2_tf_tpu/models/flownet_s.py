@@ -121,7 +121,11 @@ def decoder(params, acts, input_hw, compute_dtype=None, top="conv6_1"):
             compute_dtype=cd,
         )
         skip = acts[SKIP[lvl]]
-        x = jnp.concatenate([skip, up_feat, up_flow], axis=-1)
+        # flow stays f32 in preds; cast only the concat copy so a mixed
+        # concat doesn't promote the whole feature map back to f32
+        x = jnp.concatenate(
+            [skip, up_feat, up_flow.astype(skip.dtype)], axis=-1
+        )
         flow = common.predict_flow(
             params[f"predict_flow{lvl}"], x, compute_dtype=cd
         )

@@ -97,7 +97,10 @@ def apply(params, inputs, training: bool = False, compute_dtype=None):
             act=False,
             compute_dtype=cd,
         )
-        x = jnp.concatenate([acts[SKIP[lvl]], up_feat, up_flow], axis=-1)
+        skip = acts[SKIP[lvl]]
+        x = jnp.concatenate(
+            [skip, up_feat, up_flow.astype(skip.dtype)], axis=-1
+        )
         inter = common.conv(
             params[f"interconv{lvl}"], x, act=False, compute_dtype=cd
         )

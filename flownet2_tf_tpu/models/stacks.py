@@ -35,16 +35,23 @@ from flownet2_tf_tpu.ops.flow_warp import flow_warp
 from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
 
 
-def _second_stage_input(input_a, input_b, flow):
-    warped = flow_warp(input_b, flow)
-    brightness_error = common.channel_norm(input_a - warped)
+def _second_stage_input(input_a, input_b, flow, compute_dtype=None):
+    warp_src = (
+        input_b.astype(compute_dtype) if compute_dtype is not None
+        else input_b
+    )
+    warped = flow_warp(warp_src, flow)
+    brightness_error = common.channel_norm(
+        input_a - warped.astype(input_a.dtype)
+    )
+    dt = compute_dtype if compute_dtype is not None else input_a.dtype
     return jnp.concatenate(
         [
-            input_a,
-            input_b,
-            warped.astype(input_a.dtype),
-            flow * FLOW_SCALE,
-            brightness_error.astype(input_a.dtype),
+            input_a.astype(dt),
+            input_b.astype(dt),
+            warped.astype(dt),
+            (flow * FLOW_SCALE).astype(dt),
+            brightness_error.astype(dt),
         ],
         axis=-1,
     )
@@ -68,7 +75,8 @@ def apply_cs(params, inputs, training: bool = False, compute_dtype=None):
         compute_dtype=compute_dtype,
     )
     x = _second_stage_input(
-        inputs["input_a"], inputs["input_b"], preds_c["flow"]
+        inputs["input_a"], inputs["input_b"], preds_c["flow"],
+        compute_dtype,
     )
     preds = flownet_s.apply(
         params["FlowNetS"], x, training=training, compute_dtype=compute_dtype
@@ -99,7 +107,8 @@ def apply_css(params, inputs, training: bool = False, compute_dtype=None):
         compute_dtype=compute_dtype,
     )
     x = _second_stage_input(
-        inputs["input_a"], inputs["input_b"], preds_cs["flow"]
+        inputs["input_a"], inputs["input_b"], preds_cs["flow"],
+        compute_dtype,
     )
     preds = flownet_s.apply(
         params["FlowNetS"], x, training=training, compute_dtype=compute_dtype
@@ -179,24 +188,27 @@ def apply_flownet2(params, inputs, training: bool = False,
     flow_css = preds_css["flow"]
     flow_sd = preds_sd["flow"]
 
+    warp_src = input_b.astype(cd) if cd is not None else input_b
+
     def branch_features(flow):
-        warped = flow_warp(input_b, flow)
-        err = common.channel_norm(input_a - warped)
+        warped = flow_warp(warp_src, flow)
+        err = common.channel_norm(input_a - warped.astype(input_a.dtype))
         mag = common.channel_norm(flow)
         return err, mag
 
     err_css, mag_css = branch_features(flow_css)
     err_sd, mag_sd = branch_features(flow_sd)
 
+    dt = cd if cd is not None else input_a.dtype
     x = jnp.concatenate(
         [
-            input_a,
-            flow_css * FLOW_SCALE,
-            flow_sd * FLOW_SCALE,
-            mag_css,
-            mag_sd,
-            err_css,
-            err_sd,
+            input_a.astype(dt),
+            (flow_css * FLOW_SCALE).astype(dt),
+            (flow_sd * FLOW_SCALE).astype(dt),
+            mag_css.astype(dt),
+            mag_sd.astype(dt),
+            err_css.astype(dt),
+            err_sd.astype(dt),
         ],
         axis=-1,
     )
@@ -216,7 +228,8 @@ def apply_flownet2(params, inputs, training: bool = False,
         params["fuse_upsample_flow2to1"], flow2, act=False, compute_dtype=cd
     )
     concat1 = jnp.concatenate(
-        [acts["fuse_conv1_1"], up_feat1, up_flow1], axis=-1
+        [acts["fuse_conv1_1"], up_feat1,
+         up_flow1.astype(acts["fuse_conv1_1"].dtype)], axis=-1
     )
     inter1 = common.conv(
         params["fuse_interconv1"], concat1, act=False, compute_dtype=cd
@@ -231,7 +244,8 @@ def apply_flownet2(params, inputs, training: bool = False,
         params["fuse_upsample_flow1to0"], flow1, act=False, compute_dtype=cd
     )
     concat0 = jnp.concatenate(
-        [acts["fuse_conv0"], up_feat0, up_flow0], axis=-1
+        [acts["fuse_conv0"], up_feat0,
+         up_flow0.astype(acts["fuse_conv0"].dtype)], axis=-1
     )
     inter0 = common.conv(
         params["fuse_interconv0"], concat0, act=False, compute_dtype=cd

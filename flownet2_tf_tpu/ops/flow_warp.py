@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from flownet2_tf_tpu.ops import dispatch
+from flownet2_tf_tpu.ops.sampling import bilinear_gather
 
 
 def flow_warp(image, flow, border: str = "clamp",
@@ -58,43 +59,19 @@ def flow_warp(image, flow, border: str = "clamp",
 @functools.partial(jax.jit, static_argnums=(2,))
 def _flow_warp_oracle(image, flow, border):
     n, h, w, c = image.shape
-    compute_dtype = jnp.promote_types(image.dtype, jnp.float32)
-    image = image.astype(compute_dtype)
-    flow = flow.astype(compute_dtype)
+    # Coordinates MUST be f32 (bf16 would quantize x~1024 to ~4 px);
+    # gathered image data keeps its dtype (bf16 perf path halves gather
+    # traffic, f32 parity path is exact).
+    if not jnp.issubdtype(image.dtype, jnp.floating):
+        image = image.astype(jnp.float32)
+    flow = flow.astype(jnp.float32)
 
-    xs = jnp.arange(w, dtype=compute_dtype)[None, None, :]
-    ys = jnp.arange(h, dtype=compute_dtype)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
     x2 = xs + flow[..., 0]
     y2 = ys + flow[..., 1]
 
-    x0 = jnp.floor(x2)
-    y0 = jnp.floor(y2)
-    wx = x2 - x0
-    wy = y2 - y0
-
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
-
-    flat = image.reshape(n, h * w, c)
-
-    def gather(yi, xi):
-        idx = (yi * w + xi).reshape(n, h * w)
-        return jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(
-            n, h, w, c
-        )
-
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x1i)
-    v10 = gather(y1i, x0i)
-    v11 = gather(y1i, x1i)
-
-    wx = wx[..., None]
-    wy = wy[..., None]
-    top = v00 * (1.0 - wx) + v01 * wx
-    bot = v10 * (1.0 - wx) + v11 * wx
-    out = top * (1.0 - wy) + bot * wy
+    out = bilinear_gather(image, x2, y2)
 
     if border == "zero":
         inside = (
