@@ -64,14 +64,12 @@ def correlation(
 
     impl = implementation or dispatch.get_implementation()
     if impl == "auto":
-        use_pallas = (
-            dispatch.backend_is_tpu()
-            and _pallas_supported(
-                input_a.shape, kernel_size, max_displacement, stride_1,
-                stride_2, pad,
-            )
-        )
-        impl = "pallas" if use_pallas else "oracle"
+        # Measured on v5e (56x128x256, d=20): the XLA scan oracle runs at
+        # ~0.4-1.7 ms vs the Pallas row kernel's ~0.6-1.9 ms (the kernel
+        # re-streams each row D times; see pallas/correlation_kernel.py).
+        # auto therefore keeps the oracle; pass implementation='pallas'
+        # to use the kernel explicitly.
+        impl = "oracle"
     if impl == "pallas":
         from flownet2_tf_tpu.ops.pallas.correlation_kernel import (
             correlation_pallas,
