@@ -145,13 +145,47 @@ class FlyingChairsRawDataset:
 
 class TFRecordFlowDataset:
     """Reference-layout TFRecords: Example{image_a, image_b, flow} raw
-    bytes, uint8 images and float32 flow at the config's H x W."""
+    bytes, uint8 images and float32 flow at the config's H x W.
 
-    def __init__(self, path, height, width):
+    When the native IO runtime (runtime/native.py, C++) is available,
+    whole batches decode through its multithreaded fast path
+    (``fetch_batch``); otherwise the pure-Python codec is used.
+    """
+
+    def __init__(self, path, height, width, use_native: bool = True):
         self.path = os.fspath(path)
         self.height = int(height)
         self.width = int(width)
         self._offsets = None
+        self._native = None
+        self._native_handle = None
+        if use_native:
+            from flownet2_tf_tpu.runtime.native import get_native_io
+
+            self._native = get_native_io()
+            if self._native is not None:
+                try:
+                    self._native_handle = self._native.tfrecord_open(
+                        self.path
+                    )
+                except ValueError:
+                    self._native = None
+
+    def fetch_batch(self, idxs, num_workers: int = 4):
+        if self._native_handle is not None:
+            return self._native.decode_batch(
+                self._native_handle, list(idxs), self.height, self.width,
+                n_threads=num_workers,
+            )
+        items = [self[int(i)] for i in idxs]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def __del__(self):
+        if getattr(self, "_native_handle", None) is not None:
+            try:
+                self._native.tfrecord_close(self._native_handle)
+            except Exception:
+                pass
 
     def _index(self):
         if self._offsets is None:
@@ -313,13 +347,18 @@ class BatchLoader:
                     )
                     for start in range(0, limit, self.batch_size):
                         idxs = order[start : start + self.batch_size]
-                        items = _parallel_fetch(
-                            self.dataset, idxs, self.num_workers
-                        )
-                        batch = {
-                            k: np.stack([it[k] for it in items])
-                            for k in items[0]
-                        }
+                        if hasattr(self.dataset, "fetch_batch"):
+                            batch = self.dataset.fetch_batch(
+                                idxs, num_workers=self.num_workers
+                            )
+                        else:
+                            items = _parallel_fetch(
+                                self.dataset, idxs, self.num_workers
+                            )
+                            batch = {
+                                k: np.stack([it[k] for it in items])
+                                for k in items[0]
+                            }
                         while not stop.is_set():
                             try:
                                 out_q.put(batch, timeout=0.5)

@@ -1,0 +1,112 @@
+"""Native C++ IO runtime: build, bindings, parity with the Python codecs."""
+
+import numpy as np
+import pytest
+
+from flownet2_tf_tpu.data import tfrecord
+from flownet2_tf_tpu.runtime.native import get_native_io
+from flownet2_tf_tpu.utils import flowlib
+
+native = get_native_io()
+
+pytestmark = pytest.mark.skipif(
+    native is None, reason="native IO library unavailable (no g++?)"
+)
+
+
+def test_crc32c_matches_python():
+    for blob in (b"", b"a", b"hello world", bytes(range(256)) * 7):
+        assert native.crc32c(blob) == tfrecord.crc32c(blob)
+
+
+def test_flo_roundtrip_native_vs_python(tmp_path, rng):
+    flow = rng.randn(31, 47, 2).astype(np.float32)
+    p1 = tmp_path / "py.flo"
+    p2 = tmp_path / "cc.flo"
+    flowlib.write_flow(flow, p1)
+    native.write_flo(flow, p2)
+    # byte-identical files
+    assert p1.read_bytes() == p2.read_bytes()
+    np.testing.assert_array_equal(native.read_flo(p1), flow)
+    np.testing.assert_array_equal(flowlib.read_flow(p2), flow)
+
+
+def test_flo_bad_magic_native(tmp_path):
+    bad = tmp_path / "bad.flo"
+    bad.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        native.read_flo(bad)
+
+
+def test_ppm_native_vs_python(tmp_path, rng):
+    from flownet2_tf_tpu.utils.image_io import read_image
+
+    img = rng.randint(0, 255, (21, 33, 3), dtype=np.uint8)
+    path = tmp_path / "x.ppm"
+    with open(path, "wb") as f:
+        f.write(b"P6\n# a comment\n33 21\n255\n")
+        f.write(img.tobytes())
+    np.testing.assert_array_equal(native.read_ppm(path), img)
+    np.testing.assert_array_equal(read_image(path), img)
+
+
+def _write_tfrecords(tmp_path, rng, n=5, h=12, w=16):
+    payloads = []
+    truth = []
+    for i in range(n):
+        a = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        b = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        f = rng.randn(h, w, 2).astype(np.float32)
+        truth.append((a, b, f))
+        payloads.append(
+            tfrecord.build_example(
+                {
+                    "image_a": a.tobytes(),
+                    "image_b": b.tobytes(),
+                    "flow": f.tobytes(),
+                }
+            )
+        )
+    path = tmp_path / "x.tfrecords"
+    tfrecord.write_records(path, payloads)
+    return path, truth
+
+
+def test_tfrecord_index_and_decode_batch(tmp_path, rng):
+    path, truth = _write_tfrecords(tmp_path, rng)
+    handle = native.tfrecord_open(path)
+    try:
+        assert native.tfrecord_count(handle) == 5
+        batch = native.decode_batch(handle, [4, 0, 2], 12, 16, n_threads=3)
+        for slot, rec in enumerate((4, 0, 2)):
+            a, b, f = truth[rec]
+            np.testing.assert_allclose(
+                batch["image_a"][slot], a.astype(np.float32) / 255.0,
+                atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                batch["image_b"][slot], b.astype(np.float32) / 255.0,
+                atol=1e-6,
+            )
+            np.testing.assert_array_equal(batch["flow"][slot], f)
+    finally:
+        native.tfrecord_close(handle)
+
+
+def test_dataset_uses_native_fast_path(tmp_path, rng):
+    from flownet2_tf_tpu.data.loader import BatchLoader, TFRecordFlowDataset
+
+    path, truth = _write_tfrecords(tmp_path, rng, n=8)
+    ds = TFRecordFlowDataset(path, 12, 16)
+    assert ds._native_handle is not None  # fast path active
+    batch = ds.fetch_batch([1, 3], num_workers=2)
+    np.testing.assert_array_equal(batch["flow"][0], truth[1][2])
+
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    out = list(loader.batches(epochs=1))
+    assert len(out) == 2 and out[0]["image_a"].shape == (4, 12, 16, 3)
+    # python path produces identical batches
+    ds_py = TFRecordFlowDataset(path, 12, 16, use_native=False)
+    py = ds_py.fetch_batch([1, 3], num_workers=2)
+    for k in batch:
+        np.testing.assert_allclose(batch[k], py[k], atol=1e-6)
