@@ -161,6 +161,23 @@ def cmd_bench(args):
     return 0
 
 
+def cmd_profile(args):
+    from flownet2_tf_tpu.tools import profiler
+
+    trace_dir = profiler.trace_model(
+        model_name=args.model,
+        height=args.height,
+        width=args.width,
+        batch=args.batch,
+        iters=args.iters,
+        compute_dtype=args.compute_dtype,
+        trace_dir=args.trace_dir,
+    )
+    profiler.print_summary(trace_dir, top=args.top)
+    print(json.dumps({"trace_dir": trace_dir}))
+    return 0
+
+
 def cmd_convert(args):
     from flownet2_tf_tpu.tools.convert_tf1_checkpoint import convert
 
@@ -235,6 +252,18 @@ def build_parser():
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("profile", help="trace + per-op device-time summary")
+    _add_common_model_arg(p)
+    p.add_argument("--height", type=int, default=448)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--top", type=int, default=20)
+    p.add_argument("--trace_dir", default="/tmp/flownet2_trace")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("convert", help="TF1 checkpoint -> .npz")
     _add_common_model_arg(p)

@@ -241,6 +241,89 @@ def sample_photometric_coeffs(key, spec: Spec, batch: int):
     return out
 
 
+# Chromatic-eigen basis (Caffe FlowNet data_augmentation layer): row 0 is
+# the luminance direction, rows 1-2 span chroma. Orthonormal up to the
+# precision quoted in the Caffe layer.
+_EIGEN = jnp.array(
+    [
+        [0.51, 0.56, 0.65],
+        [0.79, 0.01, -0.62],
+        [0.35, -0.83, 0.44],
+    ],
+    jnp.float32,
+)
+
+CHROMATIC_EIGEN_KEYS = (
+    "lmult_pow", "lmult_mult", "lmult_add",
+    "sat_pow", "sat_mult", "sat_add",
+    "col_pow", "col_mult", "col_add",
+    "ladd_pow", "ladd_mult", "ladd_add",
+)
+
+
+def sample_chromatic_eigen_coeffs(key, spec: Spec, batch: int):
+    """Sample the Caffe chromatic-eigen parameter set (None if absent)."""
+    if not any(k in spec for k in CHROMATIC_EIGEN_KEYS):
+        return None
+    out = {}
+    keys = jax.random.split(key, len(CHROMATIC_EIGEN_KEYS))
+    for k, name in zip(keys, CHROMATIC_EIGEN_KEYS):
+        n = 3 if name.startswith("col_") else 1
+        val, is_exp = _sample_coeff(k, spec.get(name), batch, n)
+        if name.endswith("_pow") or name.endswith("_mult"):
+            coeff = jnp.exp(val) if is_exp else 1.0 + val
+        else:  # _add: additive, neutral 0
+            coeff = jnp.exp(val) - 1.0 if is_exp else val
+        out[name] = coeff if n == 3 else coeff[:, 0]
+    return out
+
+
+def apply_chromatic_eigen(image, coeffs):
+    """Luminance/saturation/color transform in the eigen color basis.
+
+    Distribution-level parity with the reference's ChromaticEigen path
+    (reference ``src/ops/preprocessing/kernels/data_augmentation.cu.cc``):
+    e = E rgb; luminance channel gets pow/mult/add, chroma magnitude
+    (saturation) gets pow/mult/add, per-eigen-channel color gets
+    pow/mult/add; back through E^-1, clipped to [0, 1].
+    """
+    b = image.shape[0]
+    e = jnp.einsum("nhwc,dc->nhwd", image, _EIGEN)
+
+    def bc(x):  # (B,) or (B, 3) -> broadcastable
+        return x[:, None, None, None] if x.ndim == 1 else x[:, None, None, :]
+
+    eps = 1e-6
+    # per-channel color transform (applied in eigen space)
+    sign = jnp.sign(e)
+    mag = jnp.abs(e)
+    mag = mag ** bc(coeffs["col_pow"])
+    e = sign * mag * bc(coeffs["col_mult"]) + bc(coeffs["col_add"])
+
+    lum = e[..., :1]
+    chroma = e[..., 1:]
+    sat = jnp.sqrt(jnp.sum(jnp.square(chroma), axis=-1, keepdims=True) + eps)
+
+    # two sequential luminance chains (lmult then ladd), each
+    # sign-preserving pow -> mult -> add
+    for prefix in ("lmult", "ladd"):
+        s = jnp.sign(lum)
+        lum = (
+            s * jnp.abs(lum) ** bc(coeffs[f"{prefix}_pow"])
+            * bc(coeffs[f"{prefix}_mult"])
+            + bc(coeffs[f"{prefix}_add"])
+        )
+
+    new_sat = sat ** bc(coeffs["sat_pow"]) * bc(coeffs["sat_mult"]) + bc(
+        coeffs["sat_add"]
+    )
+    chroma = chroma * (new_sat / sat)
+
+    e = jnp.concatenate([lum, chroma], axis=-1)
+    rgb = jnp.einsum("nhwd,cd->nhwc", e, jnp.linalg.inv(_EIGEN))
+    return jnp.clip(rgb, 0.0, 1.0)
+
+
 def apply_photometric(key, image, coeffs):
     """color multiplier -> gamma -> brightness -> contrast -> noise,
     clamped to [0, 1] (the CUDA op's photometric chain order)."""
@@ -299,7 +382,7 @@ def _augment_impl_inner(key, image_a, image_b, flow, crop_hw, spec_a,
                         spec_b):
     batch = image_a.shape[0]
     in_hw = image_a.shape[1:3]
-    (k_sa, k_sb, k_pa, k_pb, k_na, k_nb) = jax.random.split(key, 6)
+    (k_sa, k_sb, k_pa, k_pb, k_na, k_nb, k_ce) = jax.random.split(key, 7)
 
     coeff_a = sample_spatial_coeffs(k_sa, spec_a, batch)
     delta_b = sample_spatial_coeffs(k_sb, spec_b, batch)
@@ -311,6 +394,12 @@ def _augment_impl_inner(key, image_a, image_b, flow, crop_hw, spec_a,
     aug_a = affine_sample(image_a, theta_a, crop_hw)
     aug_b = affine_sample(image_b, theta_b, crop_hw)
     aug_flow = transform_flow(flow, theta_a, theta_b, crop_hw)
+
+    # chromatic-eigen chain (pair-correlated: same coeffs for A and B)
+    ce = sample_chromatic_eigen_coeffs(k_ce, spec_a, batch)
+    if ce is not None:
+        aug_a = apply_chromatic_eigen(aug_a, ce)
+        aug_b = apply_chromatic_eigen(aug_b, ce)
 
     photo_a = sample_photometric_coeffs(k_pa, spec_a, batch)
     photo_delta = sample_photometric_coeffs(k_pb, spec_b, batch)

@@ -103,6 +103,36 @@ FLYING_CHAIRS_DATASET_CONFIG = {
     },
 }
 
+# Chromatic-eigen parameter spec (FlowNet2 fine-tuning recipe): pow /
+# mult / add chains for luminance, saturation and per-eigen-channel
+# color, consumed by data/augmentation.py::apply_chromatic_eigen.
+_CHROMATIC_EIGEN = {
+    "lmult_pow": {"rand_type": "gaussian_bernoulli", "exp": True,
+                  "mean": -0.2, "spread": 0.4, "prob": 1.0},
+    "lmult_mult": {"rand_type": "gaussian_bernoulli", "exp": True,
+                   "mean": 0.0, "spread": 0.4, "prob": 1.0},
+    "lmult_add": {"rand_type": "gaussian_bernoulli", "exp": False,
+                  "mean": 0.0, "spread": 0.03, "prob": 1.0},
+    "sat_pow": {"rand_type": "gaussian_bernoulli", "exp": True,
+                "mean": 0.0, "spread": 0.4, "prob": 1.0},
+    "sat_mult": {"rand_type": "gaussian_bernoulli", "exp": True,
+                 "mean": -0.3, "spread": 0.5, "prob": 1.0},
+    "sat_add": {"rand_type": "gaussian_bernoulli", "exp": False,
+                "mean": 0.0, "spread": 0.03, "prob": 1.0},
+    "col_pow": {"rand_type": "gaussian_bernoulli", "exp": True,
+                "mean": 0.0, "spread": 0.4, "prob": 1.0},
+    "col_mult": {"rand_type": "gaussian_bernoulli", "exp": True,
+                 "mean": 0.0, "spread": 0.2, "prob": 1.0},
+    "col_add": {"rand_type": "gaussian_bernoulli", "exp": False,
+                "mean": 0.0, "spread": 0.02, "prob": 1.0},
+    "ladd_pow": {"rand_type": "gaussian_bernoulli", "exp": True,
+                 "mean": 0.0, "spread": 0.4, "prob": 1.0},
+    "ladd_mult": {"rand_type": "gaussian_bernoulli", "exp": True,
+                  "mean": 0.0, "spread": 0.4, "prob": 1.0},
+    "ladd_add": {"rand_type": "gaussian_bernoulli", "exp": False,
+                 "mean": 0.0, "spread": 0.04, "prob": 1.0},
+}
+
 FLYING_THINGS_3D_DATASET_CONFIG = {
     "NAME": "flying_things_3d",
     "PATHS": {
@@ -118,7 +148,8 @@ FLYING_THINGS_3D_DATASET_CONFIG = {
         "scale": False,
         "crop_height": 384,
         "crop_width": 768,
-        "image_a": copy.deepcopy(_CHAIRS_AUG_A),
+        "image_a": {**copy.deepcopy(_CHAIRS_AUG_A),
+                    **copy.deepcopy(_CHROMATIC_EIGEN)},
         "image_b": copy.deepcopy(_CHAIRS_AUG_B),
     },
 }

@@ -270,3 +270,64 @@ def test_affine_invert(rng):
     q1 = np.concatenate([q, np.ones((3, 1), np.float32)], axis=1)
     back = np.einsum("bij,bj->bi", np.asarray(inv), q1)
     np.testing.assert_allclose(back, np.tile(p[:2], (3, 1)), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Chromatic-eigen augmentation
+# ---------------------------------------------------------------------------
+
+def test_chromatic_eigen_neutral_is_identity(rng):
+    img = jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32)) * 0.8 + 0.1
+    b = 2
+    ones = jnp.ones((b,))
+    zeros = jnp.zeros((b,))
+    coeffs = {
+        "lmult_pow": ones, "lmult_mult": ones, "lmult_add": zeros,
+        "ladd_pow": ones, "ladd_mult": ones, "ladd_add": zeros,
+        "sat_pow": ones, "sat_mult": ones, "sat_add": zeros,
+        "col_pow": jnp.ones((b, 3)), "col_mult": jnp.ones((b, 3)),
+        "col_add": jnp.zeros((b, 3)),
+    }
+    out = np.asarray(augmentation.apply_chromatic_eigen(img, coeffs))
+    np.testing.assert_allclose(out, np.asarray(img), atol=2e-3)
+
+
+def test_chromatic_eigen_sampling_and_application(rng):
+    from flownet2_tf_tpu.data.dataset_configs import (
+        FLYING_THINGS_3D_DATASET_CONFIG,
+    )
+
+    spec = FLYING_THINGS_3D_DATASET_CONFIG["PREPROCESS"]["image_a"]
+    coeffs = augmentation.sample_chromatic_eigen_coeffs(
+        jax.random.PRNGKey(0), spec, 4
+    )
+    assert coeffs is not None
+    assert coeffs["col_mult"].shape == (4, 3)
+    img = jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32))
+    out = np.asarray(augmentation.apply_chromatic_eigen(img, coeffs))
+    assert out.shape == (4, 16, 16, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert np.isfinite(out).all()
+    # no-spec dict -> None (chairs image_b has no chromatic entries)
+    assert augmentation.sample_chromatic_eigen_coeffs(
+        jax.random.PRNGKey(0), {"translate": spec["translate"]}, 4
+    ) is None
+
+
+def test_augment_batch_with_chromatic_spec(rng):
+    from flownet2_tf_tpu.data.dataset_configs import (
+        FLYING_THINGS_3D_DATASET_CONFIG,
+    )
+
+    spec = dict(FLYING_THINGS_3D_DATASET_CONFIG["PREPROCESS"])
+    spec["crop_height"] = 32
+    spec["crop_width"] = 32
+    a = rng.rand(2, 48, 48, 3).astype(np.float32)
+    b = rng.rand(2, 48, 48, 3).astype(np.float32)
+    f = rng.randn(2, 48, 48, 2).astype(np.float32)
+    aug_a, aug_b, aug_f = augmentation.augment_batch(
+        jax.random.PRNGKey(9), a, b, f, spec
+    )
+    assert np.asarray(aug_a).shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(aug_a)).all()
+    assert np.isfinite(np.asarray(aug_f)).all()
