@@ -45,6 +45,8 @@ def cmd_train(args):
         max_steps=args.max_steps,
         log_every=args.log_every,
         checkpoint_every=args.checkpoint_every,
+        image_summary_every=args.image_summary_every,
+        remat=args.remat,
     )
     trainer = Trainer(cfg)
 
@@ -201,6 +203,11 @@ def build_parser():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--checkpoint_every", type=int, default=2500)
+    p.add_argument("--image_summary_every", type=int, default=0,
+                   help="write TensorBoard image summaries every N steps")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward pass (activation-memory "
+                        "savings for stacked models at large crops)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])

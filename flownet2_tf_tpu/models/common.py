@@ -93,45 +93,46 @@ def deconv_params(key, cin, cout, k=4, dtype=jnp.float32):
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _precision_for(compute_dtype):
-    # compute_dtype=None is the float32 parity path: force full precision
-    # (this environment's DEFAULT rounds conv operands to bf16 even on
-    # CPU, which would eat the <=1e-2 EPE parity budget). An explicit
-    # bf16/low-precision policy keeps DEFAULT for MXU speed.
-    if compute_dtype is None or compute_dtype == jnp.float32:
-        return lax.Precision.HIGHEST
-    return lax.Precision.DEFAULT
+def _conv_io_dtypes(compute_dtype, act):
+    """Mixed-precision policy per layer kind.
+
+    * feature layers (act=True) under a bf16 policy: bf16 in / bf16 out
+      (XLA's TPU conv still accumulates f32 internally). Keeping the
+      output dtype equal to the operand dtype is required for autodiff —
+      a f32-output bf16-operand conv produces a mixed-dtype transposed
+      conv in the backward pass, which lax rejects.
+    * flow heads and flow upsamplers (act=False): full f32 — flow values
+      need the precision and these layers are 2-channel (negligible
+      cost).
+    * f32 policy (compute_dtype None): f32 with HIGHEST precision (this
+      environment's DEFAULT rounds conv operands to bf16 even on CPU,
+      which would eat the <=1e-2 EPE parity budget).
+    """
+    if compute_dtype is None or compute_dtype == jnp.float32 or not act:
+        return jnp.float32, lax.Precision.HIGHEST if (
+            compute_dtype is None or compute_dtype == jnp.float32
+        ) else lax.Precision.DEFAULT
+    return compute_dtype, lax.Precision.DEFAULT
 
 
 def conv(p, x, stride: int = 1, act: bool = True,
          compute_dtype=None):
-    """Caffe-padded conv + optional LeakyReLU.
-
-    Matmul/conv runs in ``compute_dtype`` (bf16 on TPU via the model's
-    policy) with float32 accumulation via ``preferred_element_type``.
-    """
+    """Caffe-padded conv + optional LeakyReLU (see _conv_io_dtypes)."""
     w = p["weights"]
     k = w.shape[0]
     pad = (k - 1) // 2
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
+    io_dtype, precision = _conv_io_dtypes(compute_dtype, act)
     y = lax.conv_general_dilated(
-        x,
-        w,
+        x.astype(io_dtype),
+        w.astype(io_dtype),
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
-        precision=_precision_for(compute_dtype),
+        precision=precision,
     )
-    y = y + p["biases"].astype(jnp.float32)
+    y = y + p["biases"].astype(io_dtype)
     if act:
-        # activation maps are stored in the compute dtype (bf16 policy):
-        # halves HBM traffic between layers; accumulation stayed f32.
         y = leaky_relu(y)
-        if compute_dtype is not None:
-            y = y.astype(compute_dtype)
     return y
 
 
@@ -144,27 +145,22 @@ def deconv(p, x, act: bool = True, compute_dtype=None):
     the stride-2 Caffe conv; the kernel is stored in forward-conv HWIO
     orientation (TF1 conv2d_transpose checkpoints are spatially mirrored
     with swapped in/out — handled by the converter, see
-    tools/convert_tf1_checkpoint.py).
+    tools/convert_tf1_checkpoint.py). Precision policy: _conv_io_dtypes.
     """
     w = p["weights"]
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
+    io_dtype, precision = _conv_io_dtypes(compute_dtype, act)
     y = lax.conv_general_dilated(
-        x,
-        w,
+        x.astype(io_dtype),
+        w.astype(io_dtype),
         window_strides=(1, 1),
         padding=((2, 2), (2, 2)),
         lhs_dilation=(2, 2),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
-        precision=_precision_for(compute_dtype),
+        precision=precision,
     )
-    y = y + p["biases"].astype(jnp.float32)
+    y = y + p["biases"].astype(io_dtype)
     if act:
         y = leaky_relu(y)
-        if compute_dtype is not None:
-            y = y.astype(compute_dtype)
     return y
 
 

@@ -57,6 +57,10 @@ class TrainConfig:
     keep_checkpoints: int = 5
     tensorboard: bool = True
     image_summary_every: int = 0  # 0 = off
+    # rematerialize the forward pass in the backward (jax.checkpoint):
+    # trades ~1/3 more FLOPs for large activation-memory savings — needed
+    # for the deep stacked models (CSS/FlowNet2) at big crops/batches.
+    remat: bool = False
 
 
 class Trainer:
@@ -169,6 +173,15 @@ class Trainer:
         compute_dtype = self.compute_dtype
         augment = self.config.augment and preprocess is not None
 
+        model_apply = model.apply
+        if self.config.remat:
+            model_apply = jax.checkpoint(
+                lambda p, inp: model.apply(
+                    p, inp, training=True, compute_dtype=compute_dtype
+                ),
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+
         def loss_fn(params, batch, key):
             image_a = batch["image_a"]
             image_b = batch["image_b"]
@@ -181,12 +194,17 @@ class Trainer:
                     augmentation._freeze(preprocess.get("image_a", {})),
                     augmentation._freeze(preprocess.get("image_b", {})),
                 )
-            preds = model.apply(
-                params,
-                {"input_a": image_a, "input_b": image_b},
-                training=True,
-                compute_dtype=compute_dtype,
-            )
+            if self.config.remat:
+                preds = model_apply(
+                    params, {"input_a": image_a, "input_b": image_b}
+                )
+            else:
+                preds = model.apply(
+                    params,
+                    {"input_a": image_a, "input_b": image_b},
+                    training=True,
+                    compute_dtype=compute_dtype,
+                )
             data_loss = model.loss(flow, preds)
             reg = optim.l2_regularization(params, frozen)
             total = data_loss + weight_decay * reg
@@ -228,6 +246,40 @@ class Trainer:
         if key not in self._step_fn_cache:
             self._step_fn_cache[key] = self._build_step(key, preprocess)
         return self._step_fn_cache[key]
+
+    def _write_image_summaries(self, writer, state, batch, preprocess,
+                               step):
+        """TensorBoard image summaries of inputs and pred/GT flow
+        renderings (the reference's tf.py_func flow_to_image summaries,
+        reference src/net.py train()). Fetches ONE example."""
+        from flownet2_tf_tpu.utils.flowlib import flow_to_image
+
+        image_a = batch["image_a"][:1]
+        image_b = batch["image_b"][:1]
+        flow_gt = batch["flow"][:1]
+        if preprocess is not None:
+            from flownet2_tf_tpu.data import augmentation
+
+            image_a, image_b, flow_gt = augmentation.center_crop_batch(
+                image_a, image_b, flow_gt, preprocess
+            )
+        preds = self.model.apply(
+            jax.tree_util.tree_map(np.asarray, jax.device_get(
+                state["params"])),
+            {"input_a": jnp.asarray(image_a), "input_b": jnp.asarray(
+                image_b)},
+            compute_dtype=self.compute_dtype,
+        )
+        pred_flow = np.asarray(preds["flow"])[0]
+        writer.image(
+            "input_a", np.uint8(np.clip(image_a[0], 0, 1) * 255), step
+        )
+        writer.image(
+            "input_b", np.uint8(np.clip(image_b[0], 0, 1) * 255), step
+        )
+        writer.image("pred_flow", flow_to_image(pred_flow), step)
+        writer.image("gt_flow", flow_to_image(np.asarray(flow_gt[0])), step)
+        writer.flush()
 
     # -- the loop -----------------------------------------------------------
 
@@ -286,6 +338,14 @@ class Trainer:
                     if writer:
                         writer.scalars(metrics, step)
                         writer.flush()
+                if (
+                    writer
+                    and cfg.image_summary_every
+                    and step % cfg.image_summary_every == 0
+                ):
+                    self._write_image_summaries(
+                        writer, state, batch, preprocess, step
+                    )
                 if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
                     self.save(state)
         finally:

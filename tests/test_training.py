@@ -167,3 +167,66 @@ def test_zero_frozen_grads_keeps_params_fixed():
         params = optax.apply_updates(params, updates)
     np.testing.assert_array_equal(np.asarray(params["A"]["weights"]), 1.0)
     assert not np.allclose(np.asarray(params["B"]["weights"]), 1.0)
+
+
+@pytest.mark.slow
+def test_image_summaries_written(tmp_path):
+    import os
+
+    from flownet2_tf_tpu.data import tfrecord
+
+    ds = SyntheticFlowDataset(size=8, height=64, width=64)
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, num_workers=1)
+    cfg = TrainConfig(
+        model="s",
+        schedule=SMOKE_SCHEDULE,
+        log_dir=str(tmp_path / "run"),
+        compute_dtype="float32",
+        augment=False,
+        log_every=1000,
+        checkpoint_every=0,
+        tensorboard=True,
+        image_summary_every=2,
+    )
+    trainer = Trainer(cfg)
+    trainer.fit(loader, max_steps=2)
+    files = [f for f in os.listdir(tmp_path / "run") if "tfevents" in f]
+    assert files
+    records = list(tfrecord.read_records(tmp_path / "run" / files[0]))
+    # header + scalar event(s) + 4 image events at step 2
+    assert len(records) >= 5
+
+
+@pytest.mark.slow
+def test_remat_step_matches_no_remat(tmp_path):
+    """jax.checkpoint path produces the same loss and gradients."""
+    ds = SyntheticFlowDataset(size=8, height=64, width=64)
+    batch = {
+        k: np.stack([ds[i][k] for i in range(8)])
+        for k in ("image_a", "image_b", "flow")
+    }
+    results = {}
+    for remat in (False, True):
+        cfg = TrainConfig(
+            model="s",
+            schedule=SMOKE_SCHEDULE,
+            log_dir=str(tmp_path / f"run{remat}"),
+            compute_dtype="float32",
+            augment=False,
+            tensorboard=False,
+            checkpoint_every=0,
+            remat=remat,
+        )
+        trainer = Trainer(cfg)
+        state = trainer.init_state()
+        step_fn = trainer.get_step_fn(None)
+        db = mesh_lib.shard_batch(trainer.mesh, batch)
+        new_state, metrics = step_fn(state, db, jax.random.PRNGKey(0))
+        results[remat] = (
+            float(metrics["loss"]),
+            jax.device_get(new_state["params"]["conv1"]["weights"]),
+        )
+    assert results[False][0] == pytest.approx(results[True][0], rel=1e-5)
+    np.testing.assert_allclose(
+        results[False][1], results[True][1], rtol=1e-5, atol=1e-6
+    )
