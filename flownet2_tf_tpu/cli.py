@@ -47,9 +47,14 @@ def cmd_train(args):
         checkpoint_every=args.checkpoint_every,
         image_summary_every=args.image_summary_every,
         remat=args.remat,
+        eval_every=args.eval_every,
     )
+    from flownet2_tf_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed(args.multihost)
     trainer = Trainer(cfg)
 
+    eval_loader = None
     if args.synthetic:
         ds = SyntheticFlowDataset(
             size=args.synthetic_size, height=args.synthetic_height,
@@ -65,13 +70,41 @@ def cmd_train(args):
             "image_a": {},
             "image_b": {},
         }
+        if args.eval_every:
+            eval_ds = SyntheticFlowDataset(
+                size=max(16, (args.batch_size or 8) * 2),
+                height=args.synthetic_height, width=args.synthetic_width,
+                seed=args.seed + 9999,
+            )
+            eval_loader = BatchLoader(
+                eval_ds, batch_size=args.batch_size or 8, shuffle=False
+            )
     else:
-        dataset_config = dict(get_dataset_config(args.dataset))
+        import copy
+
+        dataset_config = copy.deepcopy(get_dataset_config(args.dataset))
         if args.batch_size:
             dataset_config["BATCH_SIZE"] = args.batch_size
         if args.data_root:
             dataset_config["RAW_ROOT"] = args.data_root
+        if args.tfrecords_train:
+            dataset_config["PATHS"]["train"] = args.tfrecords_train
+        if args.tfrecords_val:
+            dataset_config["PATHS"]["validate"] = args.tfrecords_val
+        if args.image_height:
+            dataset_config["IMAGE_HEIGHT"] = args.image_height
+        if args.image_width:
+            dataset_config["IMAGE_WIDTH"] = args.image_width
+        if args.crop_height:
+            dataset_config["PREPROCESS"]["crop_height"] = args.crop_height
+        if args.crop_width:
+            dataset_config["PREPROCESS"]["crop_width"] = args.crop_width
         loader, preprocess = load_batch(dataset_config, "train")
+        if args.eval_every:
+            try:
+                eval_loader, _ = load_batch(dataset_config, "validate")
+            except FileNotFoundError:
+                print("warning: no validate split found; skipping eval")
 
     warm = None
     if args.warm_start:
@@ -81,7 +114,7 @@ def cmd_train(args):
             warm[path] = (src, dst)
 
     trainer.fit(loader, preprocess=preprocess,
-                warm_start_checkpoints=warm)
+                warm_start_checkpoints=warm, eval_loader=eval_loader)
     return 0
 
 
@@ -163,6 +196,20 @@ def cmd_bench(args):
     return 0
 
 
+def cmd_make_tfrecords(args):
+    from flownet2_tf_tpu.tools.make_tfrecords import convert_flying_chairs
+
+    n_train, n_val = convert_flying_chairs(
+        args.data_root,
+        args.out,
+        out_val=args.out_val,
+        val_count=args.val_count,
+        seed=args.seed,
+    )
+    print(json.dumps({"train": n_train, "val": n_val, "out": args.out}))
+    return 0
+
+
 def cmd_profile(args):
     from flownet2_tf_tpu.tools import profiler
 
@@ -196,6 +243,15 @@ def build_parser():
     _add_common_model_arg(p)
     p.add_argument("--dataset", default="chairs")
     p.add_argument("--data_root", default=None)
+    p.add_argument("--tfrecords_train", default=None,
+                   help="override the dataset config's train TFRecords")
+    p.add_argument("--tfrecords_val", default=None)
+    p.add_argument("--image_height", type=int, default=None,
+                   help="override dataset config IMAGE_HEIGHT")
+    p.add_argument("--image_width", type=int, default=None)
+    p.add_argument("--crop_height", type=int, default=None,
+                   help="override augmentation crop (multiple of 64)")
+    p.add_argument("--crop_width", type=int, default=None)
     p.add_argument("--schedule", default="long",
                    help="long (S_long), fine (S_fine), short")
     p.add_argument("--log_dir", default=None)
@@ -205,6 +261,10 @@ def build_parser():
     p.add_argument("--checkpoint_every", type=int, default=2500)
     p.add_argument("--image_summary_every", type=int, default=0,
                    help="write TensorBoard image summaries every N steps")
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="evaluate validation EPE every N steps")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() at startup")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward pass (activation-memory "
                         "savings for stacked models at large crops)")
@@ -259,6 +319,17 @@ def build_parser():
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser(
+        "make-tfrecords",
+        help="raw FlyingChairs -> reference-layout TFRecords",
+    )
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--out_val", default=None)
+    p.add_argument("--val_count", type=int, default=640)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_make_tfrecords)
 
     p = sub.add_parser("profile", help="trace + per-op device-time summary")
     _add_common_model_arg(p)

@@ -22,11 +22,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def maybe_initialize_distributed(enable: bool = False) -> bool:
+    """Multi-host entry hook (SURVEY §2.3 comm-backend row): call
+    jax.distributed.initialize() from env-provided coordinator config
+    before any backend use. Single-host (this environment) stays a
+    no-op; returns whether initialization ran."""
+    if not enable:
+        return False
+    import jax
+
+    jax.distributed.initialize()
+    return True
+
+
 def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def mesh_for_batch(batch_size: int, mesh: Mesh = None) -> Mesh:
+    """Largest device prefix whose size divides ``batch_size``.
+
+    The DP batch axis must shard evenly; rather than failing deep inside
+    pjit, shrink the mesh (a warning is the caller's job)."""
+    if mesh is None:
+        mesh = make_mesh()
+    n = int(mesh.devices.size)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n == int(mesh.devices.size):
+        return mesh
+    return make_mesh(list(mesh.devices.flat)[:n], mesh.axis_names[0])
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:

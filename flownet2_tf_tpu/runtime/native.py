@@ -167,7 +167,17 @@ class NativeIO:
             int(n_threads),
         )
         if rc != 0:
-            raise ValueError(f"fnio_decode_batch failed: {rc}")
+            reasons = {
+                -2: "record index out of range",
+                -3: "read failed",
+                -4: "Example parse failed (missing feature?)",
+                -5: f"feature byte-size mismatch for {height}x{width} "
+                    "(wrong IMAGE_HEIGHT/IMAGE_WIDTH for these records?)",
+            }
+            raise ValueError(
+                f"fnio_decode_batch failed: {rc} "
+                f"({reasons.get(rc, 'unknown')})"
+            )
         return {"image_a": image_a, "image_b": image_b, "flow": flow}
 
 

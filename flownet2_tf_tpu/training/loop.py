@@ -61,6 +61,9 @@ class TrainConfig:
     # trades ~1/3 more FLOPs for large activation-memory savings — needed
     # for the deep stacked models (CSS/FlowNet2) at big crops/batches.
     remat: bool = False
+    # periodic validation: every N steps evaluate AEE on eval batches
+    eval_every: int = 0
+    eval_batches: int = 4
 
 
 class Trainer:
@@ -283,8 +286,46 @@ class Trainer:
 
     # -- the loop -----------------------------------------------------------
 
+    def evaluate(self, state, eval_loader, max_batches=None):
+        """Mean full-res EPE over validation batches (on-device
+        reduction, scalar fetches only)."""
+        max_batches = max_batches or self.config.eval_batches
+
+        from flownet2_tf_tpu.training.infer import pad_to_multiple
+
+        @jax.jit
+        def eval_batch(params, batch):
+            a, h, w = pad_to_multiple(batch["image_a"])
+            b, _, _ = pad_to_multiple(batch["image_b"])
+            preds = self.model.apply(
+                params,
+                {"input_a": a, "input_b": b},
+                compute_dtype=self.compute_dtype,
+            )
+            flow = preds["flow"][:, :h, :w, :]
+            return endpoint_error_mean(batch["flow"], flow)
+
+        total, n = 0.0, 0
+        for batch in eval_loader.batches(epochs=1):
+            device_batch = mesh_lib.shard_batch(self.mesh, batch)
+            total += float(
+                jax.device_get(eval_batch(state["params"], device_batch))
+            )
+            n += 1
+            if n >= max_batches:
+                break
+        if n == 0:
+            # e.g. validation split smaller than the batch size
+            print(
+                "warning: validation loader yielded no batches "
+                "(split smaller than batch size?)",
+                flush=True,
+            )
+            return None
+        return total / n
+
     def fit(self, loader, preprocess=None, max_steps=None, state=None,
-            warm_start_checkpoints=None):
+            warm_start_checkpoints=None, eval_loader=None):
         cfg = self.config
         if max_steps is None:
             max_steps = (
@@ -296,6 +337,27 @@ class Trainer:
             state, resumed = self.restore_or_init()
             if not resumed and warm_start_checkpoints:
                 state = self.warm_start(state, warm_start_checkpoints)
+
+        # the DP batch axis must divide the mesh; shrink it if needed
+        import itertools
+
+        probe_iter = loader.batches()
+        first_batch = next(probe_iter, None)
+        if first_batch is not None:
+            bsz = first_batch["image_a"].shape[0]
+            adapted = mesh_lib.mesh_for_batch(bsz, self.mesh)
+            if adapted.devices.size != self.mesh.devices.size:
+                print(
+                    f"warning: batch size {bsz} not divisible by "
+                    f"{self.mesh.devices.size} devices; using "
+                    f"{adapted.devices.size}",
+                    flush=True,
+                )
+                self.mesh = adapted
+                state = mesh_lib.replicate(self.mesh, jax.device_get(state))
+        batch_iter = itertools.chain(
+            [first_batch] if first_batch is not None else [], probe_iter
+        )
 
         step_fn = self.get_step_fn(preprocess)
         writer = None
@@ -309,7 +371,6 @@ class Trainer:
         t_last = time.time()
         examples_since = 0
         step = start_step
-        batch_iter = loader.batches()
         try:
             while step < max_steps:
                 batch = next(batch_iter, None)
@@ -338,6 +399,20 @@ class Trainer:
                     if writer:
                         writer.scalars(metrics, step)
                         writer.flush()
+                if (
+                    eval_loader is not None
+                    and cfg.eval_every
+                    and step % cfg.eval_every == 0
+                ):
+                    val_epe = self.evaluate(state, eval_loader)
+                    if val_epe is not None:
+                        record = {
+                            "step": step, "val_epe": round(val_epe, 6)
+                        }
+                        print(json.dumps(record), flush=True)
+                        if writer:
+                            writer.scalar("val_epe", val_epe, step)
+                            writer.flush()
                 if (
                     writer
                     and cfg.image_summary_every
