@@ -35,6 +35,20 @@ def pytest_sessionstart(session):
     assert len(jax.devices()) == 8
 
 
+def pytest_collection_modifyitems(config, items):
+    """Slow tests (TF interop, long training smokes) are opt-in: run them
+    with RUN_SLOW=1 or an explicit -m filter. Keeps the default
+    `pytest tests/ -x -q` loop fast."""
+    if os.environ.get("RUN_SLOW") == "1":
+        return
+    if config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow: set RUN_SLOW=1 (or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
