@@ -37,8 +37,24 @@ def load_params_tree(path):
     entries = [e for e in os.listdir(path) if e.isdigit()]
     if entries:
         path = os.path.join(path, str(max(int(e) for e in entries)))
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path))
+    # CheckpointManager saves items under a 'default' subdirectory
+    if os.path.isdir(os.path.join(path, "default")):
+        path = os.path.join(path, "default")
+    # Restore as host numpy regardless of the topology the checkpoint
+    # was saved under (an 8-chip training run must warm-start a 1-chip
+    # run and vice versa; default restore insists on matching devices).
+    import jax
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(os.path.abspath(path))
+        tree = meta.item_metadata.tree
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+        )
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            args=ocp.args.PyTreeRestore(restore_args=restore_args),
+        )
     if isinstance(restored, dict) and "params" in restored:
         return restored["params"]
     return restored

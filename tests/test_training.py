@@ -230,3 +230,50 @@ def test_remat_step_matches_no_remat(tmp_path):
     np.testing.assert_allclose(
         results[False][1], results[True][1], rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_curriculum_warmstart_freeze_end_to_end(tmp_path):
+    """Reference curriculum: train C, warm-start CS from it, train CS
+    with the C stage frozen -> C params bit-identical, S stage moves."""
+    ds = SyntheticFlowDataset(size=8, height=64, width=64)
+    loader = BatchLoader(ds, batch_size=8, shuffle=False, num_workers=1)
+
+    cfg_c = TrainConfig(
+        model="c", schedule=SMOKE_SCHEDULE, log_dir=str(tmp_path / "c"),
+        compute_dtype="float32", augment=False, tensorboard=False,
+        checkpoint_every=0,
+    )
+    trainer_c = Trainer(cfg_c)
+    state_c = trainer_c.fit(loader, max_steps=2)
+    trainer_c.save(state_c, wait=True)
+
+    cfg_cs = TrainConfig(
+        model="cs", schedule=SMOKE_SCHEDULE, log_dir=str(tmp_path / "cs"),
+        compute_dtype="float32", augment=False, tensorboard=False,
+        checkpoint_every=0,
+    )
+    trainer_cs = Trainer(cfg_cs)
+    state_cs = trainer_cs.fit(
+        loader,
+        max_steps=2,
+        warm_start_checkpoints={str(tmp_path / "c"): ("", "FlowNetC")},
+    )
+
+    c_flat = warmstart.flatten(jax.device_get(state_c["params"]))
+    cs_flat = warmstart.flatten(
+        jax.device_get(state_cs["params"]["FlowNetC"])
+    )
+    for k in c_flat:
+        np.testing.assert_array_equal(cs_flat[k], c_flat[k])
+
+    # the trainable S stage moved from its warm-start-time values
+    init_cs = jax.device_get(trainer_cs.init_state()["params"])
+    s_init = warmstart.flatten(init_cs["FlowNetS"])
+    s_now = warmstart.flatten(
+        jax.device_get(state_cs["params"]["FlowNetS"])
+    )
+    moved = sum(
+        not np.array_equal(s_now[k], s_init[k]) for k in s_init
+    )
+    assert moved > len(s_init) * 0.9
