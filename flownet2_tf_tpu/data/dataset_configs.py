@@ -154,6 +154,46 @@ FLYING_THINGS_3D_DATASET_CONFIG = {
     },
 }
 
+# ChairsSDHom — the small-displacement set used to train FlowNetSD
+# (FlowNet2 paper §4). Spatial augmentation is kept gentle (small
+# displacements must survive augmentation).
+CHAIRS_SDHOM_DATASET_CONFIG = {
+    "NAME": "chairs_sdhom",
+    "PATHS": {
+        "train": "./data/tfrecords/sdhom_train.tfrecords",
+        "validate": "./data/tfrecords/sdhom_val.tfrecords",
+    },
+    "RAW_ROOT": "./data/ChairsSDHom",
+    "SIZES": {"train": 20965, "validate": 2000},
+    "BATCH_SIZE": 8,
+    "IMAGE_HEIGHT": 384,
+    "IMAGE_WIDTH": 512,
+    "PREPROCESS": {
+        "scale": False,
+        "crop_height": 320,
+        "crop_width": 448,
+        "image_a": {
+            "translate": {
+                "rand_type": "uniform_bernoulli", "exp": False,
+                "mean": 0.0, "spread": 0.2, "prob": 1.0,
+            },
+            "rotate": {
+                "rand_type": "uniform_bernoulli", "exp": False,
+                "mean": 0.0, "spread": 0.2, "prob": 1.0,
+            },
+            "zoom": {
+                "rand_type": "uniform_bernoulli", "exp": True,
+                "mean": 0.1, "spread": 0.2, "prob": 1.0,
+            },
+            "noise": {
+                "rand_type": "uniform_bernoulli", "exp": False,
+                "mean": 0.03, "spread": 0.03, "prob": 1.0,
+            },
+        },
+        "image_b": copy.deepcopy(_CHAIRS_AUG_B),
+    },
+}
+
 # Evaluation-oriented configs (the reference fork reportedly added
 # dataset-list evaluation; these cover the Sintel/KITTI eval surface).
 SINTEL_DATASET_CONFIG = {
@@ -195,6 +235,8 @@ DATASETS = {
     "flying_chairs": FLYING_CHAIRS_DATASET_CONFIG,
     "things": FLYING_THINGS_3D_DATASET_CONFIG,
     "flying_things_3d": FLYING_THINGS_3D_DATASET_CONFIG,
+    "sdhom": CHAIRS_SDHOM_DATASET_CONFIG,
+    "chairs_sdhom": CHAIRS_SDHOM_DATASET_CONFIG,
     "sintel": SINTEL_DATASET_CONFIG,
     "kitti": KITTI_DATASET_CONFIG,
 }

@@ -235,6 +235,93 @@ class TFRecordFlowDataset:
         return {"image_a": image_a, "image_b": image_b, "flow": flow.copy()}
 
 
+class FlyingThings3DDataset:
+    """FlyingThings3D subset layout (as used for FlowNet fine-tuning):
+    frames_cleanpass/TRAIN/<A|B|C>/NNNN/left/NNNN.png pairs with
+    optical_flow/TRAIN/.../into_future/left/OpticalFlowIntoFuture_NNNN_L.pfm
+    ground truth. Also accepts the flattened 'subset' layout
+    (train/image_clean/left + train/flow/left)."""
+
+    def __init__(self, root, split="TRAIN", pass_name="frames_cleanpass"):
+        self.root = os.fspath(root)
+        self.pairs = []
+        subset_img = os.path.join(self.root, "train", "image_clean", "left")
+        if os.path.isdir(subset_img):
+            flow_dir = os.path.join(self.root, "train", "flow", "left")
+            frames = sorted(glob.glob(os.path.join(subset_img, "*.png")))
+            for a, b in zip(frames[:-1], frames[1:]):
+                stem = os.path.splitext(os.path.basename(a))[0]
+                flo = os.path.join(flow_dir, stem + ".pfm")
+                if os.path.exists(flo):
+                    self.pairs.append((a, b, flo))
+        else:
+            img_root = os.path.join(self.root, pass_name, split)
+            flow_root = os.path.join(self.root, "optical_flow", split)
+            for scene in sorted(glob.glob(os.path.join(img_root, "*", "*"))):
+                rel = os.path.relpath(scene, img_root)
+                frames = sorted(
+                    glob.glob(os.path.join(scene, "left", "*.png"))
+                )
+                for a, b in zip(frames[:-1], frames[1:]):
+                    num = os.path.splitext(os.path.basename(a))[0]
+                    flo = os.path.join(
+                        flow_root, rel, "into_future", "left",
+                        f"OpticalFlowIntoFuture_{num}_L.pfm",
+                    )
+                    if os.path.exists(flo):
+                        self.pairs.append((a, b, flo))
+        if not self.pairs:
+            raise FileNotFoundError(
+                f"no FlyingThings3D pairs under {self.root}"
+            )
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, idx):
+        a, b, flo = self.pairs[idx]
+        return {
+            "image_a": read_image(a).astype(np.float32) / 255.0,
+            "image_b": read_image(b).astype(np.float32) / 255.0,
+            "flow": flowlib.read_flow(flo),
+        }
+
+
+class ChairsSDHomDataset:
+    """ChairsSDHom (small-displacement set used to train FlowNetSD):
+    data/<split>/{t0,t1,flow}/NNNNN.{png,png,flo|pfm}."""
+
+    def __init__(self, root, split="train"):
+        self.root = os.fspath(root)
+        base = os.path.join(self.root, "data", split)
+        if not os.path.isdir(base):
+            base = os.path.join(self.root, split)
+        t0 = sorted(glob.glob(os.path.join(base, "t0", "*.png")))
+        self.items = []
+        for a in t0:
+            name = os.path.basename(a)
+            stem = os.path.splitext(name)[0]
+            b = os.path.join(base, "t1", name)
+            flo = os.path.join(base, "flow", stem + ".flo")
+            if not os.path.exists(flo):
+                flo = os.path.join(base, "flow", stem + ".pfm")
+            if os.path.exists(b) and os.path.exists(flo):
+                self.items.append((a, b, flo))
+        if not self.items:
+            raise FileNotFoundError(f"no ChairsSDHom triplets under {base}")
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        a, b, flo = self.items[idx]
+        return {
+            "image_a": read_image(a).astype(np.float32) / 255.0,
+            "image_b": read_image(b).astype(np.float32) / 255.0,
+            "flow": flowlib.read_flow(flo),
+        }
+
+
 class SintelDataset:
     """MPI-Sintel training layout: training/{clean|final}/<seq>/frame_NNNN.png
     with training/flow/<seq>/frame_NNNN.flo ground truth."""
@@ -415,6 +502,15 @@ def _parallel_fetch(dataset, idxs: Sequence[int], num_workers: int):
     return results  # type: ignore[return-value]
 
 
+_RAW_DATASETS = {
+    "flying_chairs": FlyingChairsRawDataset,
+    "flying_things_3d": FlyingThings3DDataset,
+    "chairs_sdhom": ChairsSDHomDataset,
+    "sintel": SintelDataset,
+    "kitti": KittiDataset,
+}
+
+
 def load_batch(dataset_config, split="train", dataset=None):
     """Reference-shim: build a BatchLoader from a dataset config dict.
 
@@ -433,7 +529,11 @@ def load_batch(dataset_config, split="train", dataset=None):
         else:
             raw_root = dataset_config.get("RAW_ROOT")
             if raw_root and os.path.isdir(raw_root):
-                dataset = FlyingChairsRawDataset(raw_root)
+                raw_cls = _RAW_DATASETS.get(
+                    dataset_config.get("NAME", "flying_chairs"),
+                    FlyingChairsRawDataset,
+                )
+                dataset = raw_cls(raw_root)
             else:
                 raise FileNotFoundError(
                     f"no data for {dataset_config.get('NAME')}: checked "

@@ -242,3 +242,48 @@ def test_convert_real_tf1_checkpoint(tmp_path):
     flat2 = warmstart.flatten(loaded)
     for k in flat:
         np.testing.assert_allclose(flat2[k], flat[k], atol=1e-6)
+
+
+def test_flying_things3d_and_sdhom_layouts(tmp_path, rng):
+    """Loaders discover FT3D subset and ChairsSDHom on-disk layouts."""
+    from flownet2_tf_tpu.data.loader import (
+        ChairsSDHomDataset,
+        FlyingThings3DDataset,
+    )
+    from flownet2_tf_tpu.utils.flowlib import write_flow
+
+    # FT3D subset layout
+    ft = tmp_path / "ft3d"
+    img = ft / "train" / "image_clean" / "left"
+    flo = ft / "train" / "flow" / "left"
+    img.mkdir(parents=True)
+    flo.mkdir(parents=True)
+    for i in (0, 1, 2):
+        write_image((rng.rand(16, 24, 3) * 255).astype(np.uint8),
+                    img / f"{i:07d}.png")
+    for i in (0, 1):
+        rgbf = np.concatenate(
+            [rng.randn(16, 24, 2).astype(np.float32),
+             np.zeros((16, 24, 1), np.float32)], axis=-1)
+        with open(flo / f"{i:07d}.pfm", "wb") as f:
+            f.write(b"PF\n24 16\n-1.0\n")
+            np.flipud(rgbf).astype("<f4").tofile(f)
+    ds = FlyingThings3DDataset(ft)
+    assert len(ds) == 2
+    assert ds[0]["flow"].shape == (16, 24, 2)
+
+    # ChairsSDHom layout
+    sd = tmp_path / "sdhom" / "data" / "train"
+    for sub in ("t0", "t1", "flow"):
+        (sd / sub).mkdir(parents=True)
+    for i in (0, 1):
+        for sub in ("t0", "t1"):
+            write_image((rng.rand(12, 16, 3) * 255).astype(np.uint8),
+                        sd / sub / f"{i:05d}.png")
+        write_flow(rng.randn(12, 16, 2).astype(np.float32),
+                   sd / "flow" / f"{i:05d}.flo")
+    sds = ChairsSDHomDataset(tmp_path / "sdhom")
+    assert len(sds) == 2
+    item = sds[1]
+    assert item["image_a"].shape == (12, 16, 3)
+    assert item["flow"].shape == (12, 16, 2)
