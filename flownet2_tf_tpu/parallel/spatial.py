@@ -1,0 +1,105 @@
+"""Spatial parallelism for inference: halo-overlapped H-tiling over the
+device mesh (the sequence-parallel analogue for this workload —
+SURVEY.md §2.3 SP row; "long context" here is image area).
+
+Regime: the full frame exists in host/HBM memory but is too large to
+run through the network on one chip (or latency demands splitting).
+Each device processes one horizontal band extended by an ``overlap``
+halo on both sides, and only the band core is kept — halos are
+materialized by overlapping extraction rather than per-layer
+``ppermute`` exchange, which is the right construction whenever the
+input itself fits in memory (per-layer halo exchange only pays when no
+single device can even hold its input band plus halos).
+
+Accuracy: FlowNet's encoder sees (nearly) global context, so tiled
+inference is an approximation whose error decays with ``overlap``; the
+trivial single-tile case is exact. Tests pin exactness for n=1 and
+bounded seam deltas for n>1 on smooth scenes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from flownet2_tf_tpu.models.registry import get_model
+from flownet2_tf_tpu.parallel import mesh as mesh_lib
+
+
+def _tile_plan(height: int, n_tiles: int, overlap: int, multiple: int = 64):
+    """-> (core, padded_h): uniform band height (multiple of 64) and the
+    padded image height the bands tile exactly."""
+    if overlap % 32 != 0:
+        raise ValueError("overlap must be a multiple of 32")
+    core = -(-height // n_tiles)
+    core = -(-core // multiple) * multiple
+    return core, core * n_tiles
+
+
+def extract_tiles(image, n_tiles: int, overlap: int):
+    """(1, H, W, C) -> (n_tiles, core + 2*overlap, W, C) with edge-padded
+    halos; returns (tiles, core, H)."""
+    _, h, w, c = image.shape
+    core, padded_h = _tile_plan(h, n_tiles, overlap)
+    image = jnp.pad(
+        image,
+        ((0, 0), (overlap, overlap + padded_h - h), (0, 0), (0, 0)),
+        mode="edge",
+    )
+    tiles = [
+        image[0, i * core : i * core + core + 2 * overlap]
+        for i in range(n_tiles)
+    ]
+    return jnp.stack(tiles, axis=0), core, h
+
+
+def stitch_tiles(tile_out, core: int, overlap: int, height: int):
+    """(n_tiles, tile_h, W, C) -> (1, H, W, C), keeping band cores."""
+    kept = tile_out[:, overlap : overlap + core]
+    n, _, w, c = kept.shape
+    return kept.reshape(1, n * core, w, c)[:, :height]
+
+
+def infer_flow_spatial(model_name, params, image_a, image_b,
+                       n_tiles=None, overlap: int = 128, mesh=None,
+                       compute_dtype="float32"):
+    """Tiled flow inference: bands sharded across the mesh as a batch.
+
+    ``image_a/b``: (H, W, 3) float arrays in [0, 1]; W must be %64 (pad
+    with training/infer.pad_to_multiple first if needed).
+    Returns (H, W, 2) flow.
+    """
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    if n_tiles is None:
+        n_tiles = int(mesh.devices.size)
+    a = jnp.asarray(image_a, jnp.float32)[None]
+    b = jnp.asarray(image_b, jnp.float32)[None]
+    tiles_a, core, h = extract_tiles(a, n_tiles, overlap)
+    tiles_b, _, _ = extract_tiles(b, n_tiles, overlap)
+
+    # bands ride the DP batch axis: one band per device
+    band_mesh = mesh_lib.mesh_for_batch(n_tiles, mesh)
+    sharding = mesh_lib.batch_sharding(band_mesh)
+    tiles_a = jax.device_put(tiles_a, sharding)
+    tiles_b = jax.device_put(tiles_b, sharding)
+
+    flow_tiles = _forward_tiles(
+        model_name, params, tiles_a, tiles_b, str(compute_dtype)
+    )
+    flow = stitch_tiles(flow_tiles, core, overlap, h)
+    return np.asarray(flow)[0]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _forward_tiles(model_name, params, tiles_a, tiles_b, dtype_name):
+    model = get_model(model_name)
+    cd = jnp.bfloat16 if dtype_name == "bfloat16" else None
+    preds = model.apply(
+        params, {"input_a": tiles_a, "input_b": tiles_b}, compute_dtype=cd
+    )
+    return preds["flow"]

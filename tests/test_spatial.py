@@ -1,0 +1,59 @@
+"""Spatial (halo-overlapped band) inference tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flownet2_tf_tpu.data.loader import SyntheticFlowDataset
+from flownet2_tf_tpu.models.registry import get_model
+from flownet2_tf_tpu.parallel import spatial
+from flownet2_tf_tpu.training.infer import infer_flow
+
+
+def test_tile_extract_stitch_roundtrip(rng):
+    x = jnp.asarray(rng.rand(1, 200, 64, 3).astype(np.float32))
+    tiles, core, h = spatial.extract_tiles(x, n_tiles=2, overlap=32)
+    assert tiles.shape == (2, core + 64, 64, 3)
+    back = spatial.stitch_tiles(tiles, core, 32, h)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+def test_single_tile_matches_full_inference(rng):
+    params = get_model("s").init(jax.random.PRNGKey(0))
+    ds = SyntheticFlowDataset(size=1, height=128, width=64, seed=1)
+    item = ds[0]
+    full = infer_flow("s", params, item["image_a"], item["image_b"])
+    tiled = spatial.infer_flow_spatial(
+        "s", params, item["image_a"], item["image_b"],
+        n_tiles=1, overlap=32,
+    )
+    # n=1: the single band is the whole (edge-padded) image; the halo
+    # only adds replicated context at the outer border
+    assert tiled.shape == full.shape
+    delta = np.abs(tiled[40:-40] - full[40:-40]).mean()
+    assert delta < 0.2, delta
+
+
+def test_two_tiles_shape_and_bands_shard(rng):
+    params = get_model("s").init(jax.random.PRNGKey(0))
+    ds = SyntheticFlowDataset(size=1, height=256, width=64, seed=2,
+                              max_flow=2.0)
+    item = ds[0]
+    tiled = spatial.infer_flow_spatial(
+        "s", params, item["image_a"], item["image_b"],
+        n_tiles=2, overlap=64,
+    )
+    assert tiled.shape == (256, 64, 2)
+    assert np.isfinite(tiled).all()
+    full = infer_flow("s", params, item["image_a"], item["image_b"])
+    # interior of each band should track full inference; the seam region
+    # differs by design (approximation decaying with overlap)
+    band_interior = np.abs(tiled[32:96] - full[32:96]).mean()
+    assert band_interior < 1.0, band_interior
+
+
+def test_overlap_validation():
+    with pytest.raises(ValueError):
+        spatial._tile_plan(256, 2, overlap=17)

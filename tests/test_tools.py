@@ -1,0 +1,73 @@
+"""Tooling tests: xplane parser, benchlib timing primitive, tfrecords
+prep tool."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def test_benchlib_marginal_on_cpu():
+    from flownet2_tf_tpu.tools.benchlib import marginal_ms
+
+    x = jnp.ones((256, 256), jnp.float32)
+    ms = marginal_ms(lambda a, t: ((a + t) @ a).sum(), x, n_small=2,
+                     n_big=6, repeats=1)
+    assert np.isfinite(ms) and ms >= 0.0
+
+
+def test_xplane_parser_on_synthetic_proto(tmp_path):
+    """Build a minimal XSpace proto with our writer helpers and parse
+    it back with the profiler's summarizer."""
+    from flownet2_tf_tpu.data.tfrecord import (
+        _field_header,
+        _length_delimited,
+        _write_varint,
+    )
+    from flownet2_tf_tpu.tools.profiler import summarize_xplane
+
+    def varint_field(field, value):
+        return _field_header(field, 0) + _write_varint(value)
+
+    # XEventMetadata{id=1, name=2}
+    emeta = varint_field(1, 7) + _length_delimited(2, b"my_op")
+    map_entry = varint_field(1, 7) + _length_delimited(2, emeta)
+    # XEvent{metadata_id=1, duration_ps=3}
+    event = varint_field(1, 7) + varint_field(3, 2_000_000_000)  # 2 ms
+    # XLine{name=2, events=4}
+    line = _length_delimited(2, b"XLA Ops") + _length_delimited(4, event)
+    # XPlane{name=2, lines=3, event_metadata=4}
+    plane = (
+        _length_delimited(2, b"/device:TPU:0")
+        + _length_delimited(3, line)
+        + _length_delimited(4, map_entry)
+    )
+    xspace = _length_delimited(1, plane)
+    path = tmp_path / "t.xplane.pb"
+    path.write_bytes(xspace)
+
+    summary = summarize_xplane(path)
+    rows = summary["/device:TPU:0"]["XLA Ops"]
+    assert rows == [(pytest.approx(2.0), 1, "my_op")]
+
+
+def test_make_tfrecords_roundtrip(tmp_path, rng):
+    from flownet2_tf_tpu.data.loader import (
+        SyntheticFlowDataset,
+        TFRecordFlowDataset,
+    )
+    from flownet2_tf_tpu.tools.make_tfrecords import write_dataset
+
+    ds = SyntheticFlowDataset(size=5, height=16, width=24)
+    out = tmp_path / "x.tfrecords"
+    n = write_dataset(ds, out, log_every=0)
+    assert n == 5
+    back = TFRecordFlowDataset(out, 16, 24)
+    assert len(back) == 5
+    item0 = ds[0]
+    got = back[0]
+    # images round-trip through uint8 quantization
+    np.testing.assert_allclose(
+        got["image_a"], np.round(item0["image_a"] * 255) / 255, atol=1 / 254
+    )
+    np.testing.assert_array_equal(got["flow"], item0["flow"])
