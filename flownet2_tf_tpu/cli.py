@@ -167,6 +167,14 @@ def cmd_eval(args):
 def _make_eval_dataset(args):
     from flownet2_tf_tpu.data import loader as L
 
+    if getattr(args, "tfrecords", None):
+        if not (args.image_height and args.image_width):
+            raise SystemExit(
+                "--tfrecords eval needs --image_height/--image_width"
+            )
+        return L.TFRecordFlowDataset(
+            args.tfrecords, args.image_height, args.image_width
+        )
     name = args.dataset.lower()
     if name == "synthetic":
         return L.SyntheticFlowDataset(
@@ -178,6 +186,10 @@ def _make_eval_dataset(args):
         return L.KittiDataset(args.data_root)
     if name in ("chairs", "flying_chairs"):
         return L.FlyingChairsRawDataset(args.data_root)
+    if name in ("things", "flying_things_3d"):
+        return L.FlyingThings3DDataset(args.data_root)
+    if name in ("sdhom", "chairs_sdhom"):
+        return L.ChairsSDHomDataset(args.data_root)
     raise SystemExit(f"unknown eval dataset {args.dataset!r}")
 
 
@@ -302,6 +314,10 @@ def build_parser():
     p.add_argument("--ckpt", required=True)
     p.add_argument("--dataset", default="sintel")
     p.add_argument("--data_root", default=None)
+    p.add_argument("--tfrecords", default=None,
+                   help="evaluate a TFRecord file instead of a raw layout")
+    p.add_argument("--image_height", type=int, default=None)
+    p.add_argument("--image_width", type=int, default=None)
     p.add_argument("--render_pass", default="clean",
                    choices=["clean", "final"])
     p.add_argument("--limit", type=int, default=None)

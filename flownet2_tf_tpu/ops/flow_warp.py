@@ -11,11 +11,13 @@ bilinearly, with sample coordinates clamped to the image border
 of the bilinear gather; the gradient w.r.t. the flow is the analytic
 bilinear spatial derivative.
 
-The oracle is a pure-jnp gather + lerp — a VPU-friendly formulation that
-XLA fuses well; autodiff yields exactly the reference's two backward
-kernels (scatter-add for d_image, analytic lerp derivative for d_flow).
-``border='zero'`` masks out-of-frame samples to 0 instead (the Caffe
-FlowWarpLayer fill-zero variant) — kept as an option for parity
+The implementation is the neighbor-packed gather (ops/sampling.py): one
+gather of a 12-channel 4-tap record instead of four 3-channel gathers —
+5-8x faster on TPU, identical numerics (clamp-first == per-neighbor
+index clamping). Autodiff yields exactly the reference's two backward
+kernels (scatter-add for d_image, analytic lerp derivative for
+d_flow). ``border='zero'`` masks out-of-frame samples to 0 instead (the
+Caffe FlowWarpLayer fill-zero variant) — kept as an option for parity
 experiments; 'clamp' is the default, matching the TF1 port.
 """
 

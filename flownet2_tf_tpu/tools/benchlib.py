@@ -89,7 +89,7 @@ def train_step_ms(model_name="s", batch=8, height=320, width=448,
         for k in ("image_a", "image_b", "flow")
     }
     device_batch = mesh_lib.shard_batch(trainer.mesh, batch_np)
-    step_fn_inner = trainer._build_step("", None)
+    step_fn_inner = trainer._build_step(None)
 
     # chain steps on device: feed the updated state forward
     @functools.partial(jax.jit, static_argnums=(0,))

@@ -167,7 +167,7 @@ class Trainer:
 
     # -- the step -----------------------------------------------------------
 
-    def _build_step(self, aug_spec_key, preprocess):
+    def _build_step(self, preprocess):
         model = self.model
         optimizer = self.optimizer
         lr_fn = self.lr_fn
@@ -247,7 +247,7 @@ class Trainer:
         key = json.dumps(preprocess, sort_keys=True, default=str) \
             if preprocess else ""
         if key not in self._step_fn_cache:
-            self._step_fn_cache[key] = self._build_step(key, preprocess)
+            self._step_fn_cache[key] = self._build_step(preprocess)
         return self._step_fn_cache[key]
 
     def _write_image_summaries(self, writer, state, batch, preprocess,

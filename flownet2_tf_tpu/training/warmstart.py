@@ -130,7 +130,9 @@ def apply_warm_starts(params, checkpoints: Dict[str, Tuple[str, str]]):
     """
     import copy
 
-    params = copy.deepcopy(jax_device_get(params))
+    import jax
+
+    params = copy.deepcopy(jax.device_get(params))
     for path, (src_scope, dst_scope) in checkpoints.items():
         source_tree = load_params_tree(path)
         sub = get_scope(source_tree, src_scope)
@@ -138,9 +140,3 @@ def apply_warm_starts(params, checkpoints: Dict[str, Tuple[str, str]]):
         _check_compatible(dst, sub, dst_scope)
         params = set_scope(params, dst_scope, sub)
     return params
-
-
-def jax_device_get(tree):
-    import jax
-
-    return jax.device_get(tree)
