@@ -74,3 +74,25 @@ def test_smoke_cli_on_sample_pair(tmp_path, capsys):
     flow = flowlib.read_flow(out_flo)
     golden = np.load(os.path.join(GOLDEN, "flownet_s_seed0.npz"))
     np.testing.assert_allclose(flow, golden["flow"], rtol=1e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["c", pytest.param("2", marks=pytest.mark.slow)],
+)
+def test_model_zoo_goldens(name):
+    """Pin FlowNetC and the full FlowNet2 stack on the sample pair."""
+    golden = np.load(os.path.join(GOLDEN, f"flownet_{name}_seed0.npz"))
+    a, b = load_image_pair(
+        os.path.join(SAMPLES, "0img0.ppm"), os.path.join(SAMPLES, "0img1.ppm")
+    )
+    model = get_model(name)
+    params = model.init(jax.random.PRNGKey(0))
+    preds = model.apply(params, {"input_a": a[None], "input_b": b[None]})
+    got = np.asarray(preds["flow"])[0]
+    # FlowNet2 at random init amplifies through the stack; scale the
+    # tolerance with golden magnitude
+    scale = max(1.0, float(np.abs(golden["flow"]).mean()))
+    np.testing.assert_allclose(
+        got, golden["flow"], rtol=1e-3, atol=5e-3 * scale
+    )
