@@ -49,12 +49,11 @@ def flow_warp(image, flow, border: str = "clamp",
             f"image/flow spatial mismatch: {image.shape} vs {flow.shape}"
         )
     impl = implementation or dispatch.get_implementation()
-    if impl == "auto":
-        impl = "oracle"  # XLA's fused gather path is already strong here.
-    if impl == "pallas":
-        from flownet2_tf_tpu.ops.pallas.warp_kernel import flow_warp_pallas
-
-        return flow_warp_pallas(image, flow, border=border)
+    # The neighbor-packed XLA formulation IS the TPU-optimized kernel for
+    # this op: Mosaic has no vectorized VMEM gather, so a hand-written
+    # Pallas version would scalar-loop (measured rationale in
+    # docs/DESIGN.md). 'pallas' therefore resolves to the same path.
+    del impl
     return _flow_warp_oracle(image, flow, border)
 
 
