@@ -29,6 +29,12 @@ class Net:
         self.model = get_model(model_name)
         self.mode = mode
         self.debug = debug
+        if debug:
+            # the reference's debug flag enabled extra graph assertions;
+            # the jit-era equivalent is NaN trapping in compiled code
+            import jax
+
+            jax.config.update("jax_debug_nans", True)
 
     # -- inference ---------------------------------------------------------
 

@@ -372,13 +372,26 @@ class Trainer:
         examples_since = 0
         step = start_step
         try:
-            while step < max_steps:
-                batch = next(batch_iter, None)
-                if batch is None:
-                    break
-                device_batch = mesh_lib.shard_batch(self.mesh, batch)
+            # one-deep device prefetch: the NEXT batch's host->device
+            # transfer overlaps the current step's execution (step
+            # dispatch is async; device_put for batch k+1 is issued
+            # before anything blocks on step k's results)
+            pending = next(batch_iter, None)
+            pending_dev = (
+                mesh_lib.shard_batch(self.mesh, pending)
+                if pending is not None
+                else None
+            )
+            while step < max_steps and pending is not None:
+                batch, device_batch = pending, pending_dev
                 key, sub = jax.random.split(key)
                 state, metrics = step_fn(state, device_batch, sub)
+                pending = next(batch_iter, None)
+                pending_dev = (
+                    mesh_lib.shard_batch(self.mesh, pending)
+                    if pending is not None
+                    else None
+                )
                 step += 1
                 examples_since += batch["image_a"].shape[0]
 

@@ -71,3 +71,18 @@ def test_make_tfrecords_roundtrip(tmp_path, rng):
         got["image_a"], np.round(item0["image_a"] * 255) / 255, atol=1 / 254
     )
     np.testing.assert_array_equal(got["flow"], item0["flow"])
+
+
+def test_cli_bench_on_cpu(capsys):
+    from flownet2_tf_tpu import cli
+
+    rc = cli.main([
+        "bench", "--model", "s", "--height", "64", "--width", "64",
+        "--iters", "2", "--compute_dtype", "float32",
+    ])
+    assert rc == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["unit"] == "frame_pairs/sec/chip"
+    assert out["value"] > 0
