@@ -40,6 +40,24 @@ def leaky_relu(x, leak: float = LEAK):
     return jnp.where(x >= 0, x, leak * x)
 
 
+# Reference-named aliases (reference ``src/utils.py`` public surface).
+# The conv/deconv blocks below fold pad/antipad into explicit conv
+# padding, but the standalone utilities remain available for users
+# porting custom heads.
+LeakyReLU = leaky_relu
+
+
+def pad(tensor, p: int = 1):
+    """Symmetric NHWC spatial zero-pad (reference ``src/utils.py::pad``)."""
+    return jnp.pad(tensor, ((0, 0), (p, p), (p, p), (0, 0)))
+
+
+def antipad(tensor, p: int = 1):
+    """Crop p from every spatial border — the inverse of :func:`pad`,
+    used after VALID deconvs (reference ``src/utils.py::antipad``)."""
+    return tensor[:, p:-p, p:-p, :]
+
+
 def check_divisible_by_64(h: int, w: int):
     """The 6 stride-2 stages require H, W ≡ 0 (mod 64) — the reference's
     implicit input constraint. The inference runtime (training/infer.py)
