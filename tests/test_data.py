@@ -331,3 +331,24 @@ def test_augment_batch_with_chromatic_spec(rng):
     assert np.asarray(aug_a).shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(aug_a)).all()
     assert np.isfinite(np.asarray(aug_f)).all()
+
+
+def test_transform_flow_pure_translation_closed_form():
+    """With zero GT flow, identity A-transform and a pure B-translation
+    of t pixels, the re-expressed flow must be exactly -t everywhere:
+    flow'(p) = Tb^-1(Ta(p) + 0) - p = -t."""
+    batch, in_hw, out_hw = 1, (64, 80), (32, 40)
+    coeff_a = augmentation.identity_coeffs(batch)
+    coeff_b = augmentation.identity_coeffs(batch)
+    tx_px, ty_px = 6.0, -3.0
+    coeff_b["translate"] = jnp.asarray(
+        [[tx_px / in_hw[1], ty_px / in_hw[0]]], jnp.float32
+    )
+    theta_a = augmentation.coeffs_to_affine(coeff_a, in_hw, out_hw)
+    theta_b = augmentation.coeffs_to_affine(coeff_b, in_hw, out_hw)
+    flow = jnp.zeros((1, in_hw[0], in_hw[1], 2), jnp.float32)
+    out = np.asarray(
+        augmentation.transform_flow(flow, theta_a, theta_b, out_hw)
+    )
+    np.testing.assert_allclose(out[..., 0], -tx_px, atol=1e-4)
+    np.testing.assert_allclose(out[..., 1], -ty_px, atol=1e-4)
