@@ -88,15 +88,14 @@ def apply(params, inputs, training: bool = False, compute_dtype=None):
 
     acts = {}
 
-    def tower(x):
-        feats = {}
-        for name, _, stride, _ in TOWER:
-            x = common.conv(params[name], x, stride=stride, compute_dtype=cd)
-            feats[name] = x
-        return feats
-
-    feats_a = tower(a)  # shared weights: same params for both towers
-    feats_b = tower(b)
+    # shared-weight siamese towers: run both images through one batched
+    # pass (doubles the conv batch — better MXU utilization at b=1 —
+    # instead of two sequential tower evaluations)
+    x = jnp.concatenate([a, b], axis=0)
+    feats_a, feats_b = {}, {}
+    for name, _, stride, _ in TOWER:
+        x = common.conv(params[name], x, stride=stride, compute_dtype=cd)
+        feats_a[name], feats_b[name] = jnp.split(x, 2, axis=0)
 
     cc = correlation(feats_a["conv3"], feats_b["conv3"], **CORR_KWARGS)
     cc = common.leaky_relu(cc)
