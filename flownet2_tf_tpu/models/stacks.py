@@ -36,11 +36,10 @@ from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
 
 
 def _second_stage_input(input_a, input_b, flow, compute_dtype=None):
-    warp_src = (
-        input_b.astype(compute_dtype) if compute_dtype is not None
-        else input_b
-    )
-    warped = flow_warp(warp_src, flow)
+    # warp the f32 image: a bf16 gather table costs MORE in-model (bf16
+    # (2,1) sublane packing penalizes single-row gathers; measured
+    # 10.2 -> 8.0 ms on the CS stack by keeping the table f32)
+    warped = flow_warp(input_b, flow)
     brightness_error = common.channel_norm(
         input_a - warped.astype(input_a.dtype)
     )
@@ -188,13 +187,12 @@ def apply_flownet2(params, inputs, training: bool = False,
     flow_css = preds_css["flow"]
     flow_sd = preds_sd["flow"]
 
-    warp_src = input_b.astype(cd) if cd is not None else input_b
-
     # both branches warp the SAME image by different flows: batch them
     # into one gather (the warp gather is the profile's top cost; one
-    # 2N-row gather amortizes the packed-table build and launch)
+    # 2N-row gather amortizes the packed-table build and launch). f32
+    # table: see _second_stage_input.
     warped_pair = flow_warp(
-        jnp.concatenate([warp_src, warp_src], axis=0),
+        jnp.concatenate([input_b, input_b], axis=0),
         jnp.concatenate([flow_css, flow_sd], axis=0),
     )
     warped_css, warped_sd = jnp.split(warped_pair, 2, axis=0)
