@@ -247,6 +247,19 @@ def cmd_convert(args):
     return 0
 
 
+def cmd_export(args):
+    """Orbax run dir -> portable flat .npz parameter file."""
+    import numpy as np
+
+    from flownet2_tf_tpu.training import warmstart
+
+    tree = warmstart.load_params_tree(args.ckpt)
+    flat = warmstart.flatten(tree)
+    np.savez(args.out, **flat)
+    print(json.dumps({"leaves": len(flat), "out": args.out}))
+    return 0
+
+
 def build_parser():
     parser = argparse.ArgumentParser(prog="flownet2_tf_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -364,6 +377,14 @@ def build_parser():
     p.add_argument("--tf_checkpoint", required=True)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser(
+        "export", help="orbax training run -> portable .npz weights"
+    )
+    p.add_argument("--ckpt", required=True,
+                   help="run log_dir or checkpoint step directory")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_export)
 
     return parser
 
