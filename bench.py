@@ -37,8 +37,19 @@ def _timed_scan_call(fn, n):
 def run_bench(model="2", height=448, width=1024, batch=1, iters=16,
               compute_dtype="bfloat16", repeats=2):
     import functools
+    import os
 
     import jax
+
+    # persistent compilation cache: repeat driver runs skip the ~2 min
+    # FlowNet2 compile (works through the axon remote-compile path too)
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/tmp/flownet2_jax_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from jax import lax
 
