@@ -121,9 +121,17 @@ def cmd_train(args):
 def cmd_test(args):
     from flownet2_tf_tpu.training.infer import test_pair
 
+    ckpt = args.ckpt
+    if ckpt is None:
+        # reference default-path convention
+        # (./checkpoints/FlowNetX/flownet-X.ckpt-0 -> native .npz)
+        from flownet2_tf_tpu.models.registry import get_model
+
+        name = get_model(args.model).name
+        ckpt = f"./checkpoints/{name}/{name.lower()}.npz"
     flow = test_pair(
         args.model,
-        args.ckpt,
+        ckpt,
         args.input_a,
         args.input_b,
         args.out,
@@ -312,7 +320,8 @@ def build_parser():
 
     p = sub.add_parser("test", help="single-pair inference")
     _add_common_model_arg(p)
-    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ckpt", default=None,
+                   help="default: ./checkpoints/<Model>/<model>.npz")
     p.add_argument("--input_a", required=True)
     p.add_argument("--input_b", required=True)
     p.add_argument("--out", default="./")
