@@ -510,6 +510,14 @@ _RAW_DATASETS = {
     "kitti": KittiDataset,
 }
 
+# KITTI ground truth is sparse (validity mask in the 3rd flow channel) and
+# frames vary in size per sequence — both break dense-EPE training batches
+# (the mask would silently train invalid pixels as zero flow, and np.stack
+# fails on ragged sizes). The reference never trains on KITTI either (it
+# fine-tunes on Chairs/Things3D/SDHom); KITTI is an EVAL dataset here, fully
+# mask-aware in training/infer.evaluate_dataset.
+_EVAL_ONLY_DATASETS = {"kitti"}
+
 
 def load_batch(dataset_config, split="train", dataset=None):
     """Reference-shim: build a BatchLoader from a dataset config dict.
@@ -518,6 +526,14 @@ def load_batch(dataset_config, split="train", dataset=None):
     returns (loader, preprocess_spec) — augmentation happens on device in
     the train step, not here.
     """
+    name = dataset_config.get("NAME", "flying_chairs")
+    if split == "train" and name in _EVAL_ONLY_DATASETS:
+        raise ValueError(
+            f"dataset {name!r} is eval-only (sparse GT with a validity "
+            "mask and per-sequence frame sizes); use `cli eval --dataset "
+            f"{name}` — training supports flying_chairs, flying_things_3d, "
+            "chairs_sdhom and sintel"
+        )
     if dataset is None:
         path = dataset_config.get("PATHS", {}).get(split)
         if path and os.path.exists(path):

@@ -107,16 +107,22 @@ int64_t fnio_tfrecord_size(void* handle, int64_t i) {
   return idx->sizes[i];
 }
 
-// Read raw payload i into buf (caller sized via fnio_tfrecord_size).
+// Read raw payload i into buf (caller sized via fnio_tfrecord_size) and
+// verify the record's masked payload CRC32C (guards against torn/corrupt
+// files that passed the length-CRC check at open time).
 int fnio_tfrecord_read(void* handle, int64_t i, uint8_t* buf) {
   auto* idx = (TfRecordIndex*)handle;
   if (!idx || i < 0 || i >= (int64_t)idx->offsets.size()) return -1;
   FILE* f = std::fopen(idx->path.c_str(), "rb");
   if (!f) return -2;
   int rc = 0;
+  uint32_t stored_crc = 0;
   if (std::fseek(f, idx->offsets[i], SEEK_SET) != 0 ||
-      std::fread(buf, 1, (size_t)idx->sizes[i], f) != (size_t)idx->sizes[i])
+      std::fread(buf, 1, (size_t)idx->sizes[i], f) != (size_t)idx->sizes[i] ||
+      std::fread(&stored_crc, 4, 1, f) != 1)
     rc = -3;
+  else if (masked_crc(buf, idx->sizes[i]) != stored_crc)
+    rc = -4;  // payload corruption
   std::fclose(f);
   return rc;
 }
@@ -161,7 +167,10 @@ static bool find_field(const uint8_t* buf, int64_t len, uint32_t want_field,
     uint32_t wire = (uint32_t)(tag & 7);
     if (wire == 2) {
       uint64_t flen;
-      if (!read_varint(&c, &flen) || c.p + flen > c.end) return false;
+      // compare against the remaining span, not c.p + flen (a huge flen
+      // would overflow the pointer arithmetic — UB — before the check)
+      if (!read_varint(&c, &flen) || flen > (uint64_t)(c.end - c.p))
+        return false;
       if (field == want_field) {
         *out = c.p;
         *out_len = (int64_t)flen;
@@ -172,8 +181,10 @@ static bool find_field(const uint8_t* buf, int64_t len, uint32_t want_field,
       uint64_t v;
       if (!read_varint(&c, &v)) return false;
     } else if (wire == 5) {
+      if (c.end - c.p < 4) return false;
       c.p += 4;
     } else if (wire == 1) {
+      if (c.end - c.p < 8) return false;
       c.p += 8;
     } else {
       return false;
@@ -208,7 +219,7 @@ int fnio_parse_example(const uint8_t* payload, int64_t len,
     if (!read_varint(&c, &tag)) break;
     if ((tag & 7) != 2) return -2;
     uint64_t flen;
-    if (!read_varint(&c, &flen) || c.p + flen > c.end) return -2;
+    if (!read_varint(&c, &flen) || flen > (uint64_t)(c.end - c.p)) return -2;
     const uint8_t* entry = c.p;
     int64_t entry_len = (int64_t)flen;
     c.p += flen;
@@ -308,10 +319,13 @@ int fnio_read_ppm(const char* path, uint8_t* data, int32_t* w, int32_t* h,
     while (ch != EOF && !std::isspace(ch)) {
       if (ch < '0' || ch > '9') { std::fclose(f); return -3; }
       value = value * 10 + (ch - '0');
+      // bound like fnio_read_flo: rejects overflow-length digit runs
+      if (value > 100000) { std::fclose(f); return -3; }
       ch = std::fgetc(f);
     }
     fields[nf++] = value;
   }
+  if (fields[0] <= 0 || fields[1] <= 0) { std::fclose(f); return -3; }
   if (fields[2] > 255) { std::fclose(f); return -5; }
   *w = fields[0];
   *h = fields[1];

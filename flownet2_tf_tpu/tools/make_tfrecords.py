@@ -40,17 +40,18 @@ def write_dataset(dataset, out_path, indices=None, log_every=1000):
     """Serialize dataset items to a TFRecord file; returns count."""
     if indices is None:
         indices = range(len(dataset))
+    written = 0
 
     def payloads():
+        nonlocal written
         for n, i in enumerate(indices):
             if log_every and n and n % log_every == 0:
                 print(f"  {n} examples written...", flush=True)
             yield example_from_item(dataset[int(i)])
+            written += 1
 
     tfrecord.write_records(out_path, payloads())
-    return len(list(indices)) if not hasattr(indices, "__len__") else len(
-        indices
-    )
+    return written
 
 
 def convert_flying_chairs(data_root, out_train, out_val=None,

@@ -93,6 +93,52 @@ def test_tfrecord_index_and_decode_batch(tmp_path, rng):
         native.tfrecord_close(handle)
 
 
+def test_corrupt_payload_detected(tmp_path, rng):
+    """A flipped payload byte must fail the masked payload-CRC check in
+    fnio_tfrecord_read, not silently decode garbage."""
+    path, _ = _write_tfrecords(tmp_path, rng, n=3)
+    raw = bytearray(path.read_bytes())
+    # record 0: 8-byte length + 4-byte length CRC, payload starts at 12
+    raw[20] ^= 0xFF
+    bad = tmp_path / "corrupt.tfrecords"
+    bad.write_bytes(bytes(raw))
+    handle = native.tfrecord_open(bad)
+    try:
+        with pytest.raises(ValueError, match="decode_batch"):
+            native.decode_batch(handle, [0], 12, 16, n_threads=1)
+        # undamaged records still decode
+        batch = native.decode_batch(handle, [1, 2], 12, 16, n_threads=1)
+        assert batch["flow"].shape == (2, 12, 16, 2)
+    finally:
+        native.tfrecord_close(handle)
+
+
+def test_malformed_example_rejected(tmp_path, rng):
+    """Hostile varint lengths in the Example payload must be rejected by
+    the bounds-checked parser (not read out of bounds)."""
+    # wire-format: field 1 (Features), length-delimited, length 2**62
+    evil = bytes([0x0A, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0x3F])
+    path = tmp_path / "evil.tfrecords"
+    tfrecord.write_records(path, [evil])
+    handle = native.tfrecord_open(path)
+    try:
+        with pytest.raises(ValueError, match="decode_batch"):
+            native.decode_batch(handle, [0], 12, 16, n_threads=1)
+    finally:
+        native.tfrecord_close(handle)
+
+
+def test_ppm_overflow_header_rejected(tmp_path):
+    evil = tmp_path / "evil.ppm"
+    evil.write_bytes(b"P6\n99999999999999999999 4\n255\n" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        native.read_ppm(evil)
+    zero = tmp_path / "zero.ppm"
+    zero.write_bytes(b"P6\n0 0\n255\n")
+    with pytest.raises(ValueError):
+        native.read_ppm(zero)
+
+
 def test_dataset_uses_native_fast_path(tmp_path, rng):
     from flownet2_tf_tpu.data.loader import BatchLoader, TFRecordFlowDataset
 

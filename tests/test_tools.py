@@ -72,6 +72,23 @@ def test_make_tfrecords_roundtrip(tmp_path, rng):
     )
     np.testing.assert_array_equal(got["flow"], item0["flow"])
 
+    # generator indices (no __len__) must still return the true count
+    n_gen = write_dataset(
+        ds, tmp_path / "y.tfrecords", indices=(i for i in (0, 2, 4)),
+        log_every=0,
+    )
+    assert n_gen == 3
+    assert len(TFRecordFlowDataset(tmp_path / "y.tfrecords", 16, 24)) == 3
+
+
+def test_kitti_is_eval_only_for_training(tmp_path):
+    from flownet2_tf_tpu.data.dataset_configs import get_dataset_config
+    from flownet2_tf_tpu.data.loader import load_batch
+
+    cfg = dict(get_dataset_config("kitti"))
+    with pytest.raises(ValueError, match="eval-only"):
+        load_batch(cfg, "train")
+
 
 def test_cli_bench_on_cpu(capsys):
     from flownet2_tf_tpu import cli
