@@ -22,6 +22,18 @@ os.environ["JAX_PLATFORM_NAME"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the trainer-path tests compile full
+# fwd+bwd train steps, which costs ~15s each on this host's single CPU
+# core; repeat runs hit the cache and the suite stays fast.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/flownet2_jax_cache_tests"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

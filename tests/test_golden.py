@@ -76,10 +76,7 @@ def test_smoke_cli_on_sample_pair(tmp_path, capsys):
     np.testing.assert_allclose(flow, golden["flow"], rtol=1e-4, atol=5e-4)
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["c", pytest.param("2", marks=pytest.mark.slow)],
-)
+@pytest.mark.parametrize("name", ["c", "2"])
 def test_model_zoo_goldens(name):
     """Pin FlowNetC and the full FlowNet2 stack on the sample pair."""
     golden = np.load(os.path.join(GOLDEN, f"flownet_{name}_seed0.npz"))
@@ -88,7 +85,11 @@ def test_model_zoo_goldens(name):
     )
     model = get_model(name)
     params = model.init(jax.random.PRNGKey(0))
-    preds = model.apply(params, {"input_a": a[None], "input_b": b[None]})
+    # jit: one fused XLA program (cached persistently) instead of a slow
+    # op-by-op eager walk of the full stack on this 1-core host
+    preds = jax.jit(model.apply)(
+        params, {"input_a": a[None], "input_b": b[None]}
+    )
     got = np.asarray(preds["flow"])[0]
     # FlowNet2 at random init amplifies through the stack; scale the
     # tolerance with golden magnitude
