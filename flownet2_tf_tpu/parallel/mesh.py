@@ -26,11 +26,39 @@ def maybe_initialize_distributed(enable: bool = False) -> bool:
     """Multi-host entry hook (SURVEY §2.3 comm-backend row): call
     jax.distributed.initialize() from env-provided coordinator config
     before any backend use. Single-host (this environment) stays a
-    no-op; returns whether initialization ran."""
+    no-op; returns whether initialization ran.
+
+    Requires the standard JAX cluster env (either an auto-detected
+    managed environment, or COORDINATOR_ADDRESS + NUM_PROCESSES +
+    PROCESS_ID for manual bring-up); fails fast with a clear error
+    instead of letting jax.distributed block on a missing coordinator.
+    """
     if not enable:
         return False
+    import os
+
     import jax
 
+    manual = all(
+        os.environ.get(k)
+        for k in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID")
+    )
+    managed = any(
+        os.environ.get(k)
+        for k in (
+            "TPU_WORKER_HOSTNAMES",  # Cloud TPU pod
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "SLURM_JOB_ID",
+            "OMPI_COMM_WORLD_SIZE",  # OpenMPI
+        )
+    )
+    if not (manual or managed):
+        raise RuntimeError(
+            "--multihost requires cluster coordination env: set "
+            "COORDINATOR_ADDRESS, NUM_PROCESSES and PROCESS_ID (or run "
+            "under a managed TPU-pod/SLURM/MPI environment that JAX "
+            "auto-detects)"
+        )
     jax.distributed.initialize()
     return True
 

@@ -91,32 +91,66 @@ def test_pair(model_name, checkpoint, input_a_path, input_b_path, out_dir,
     return flow
 
 
+# Incremented at trace time (the function body runs once per compiled
+# shape signature); tests assert shape bucketing keeps this O(buckets),
+# not O(distinct input sizes).
+_EVAL_TRACE_COUNT = 0
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _aee_on_device(model_name, params, batch, compute_dtype_name):
     """Forward + masked AEE fully on device; only a scalar pair leaves.
 
     Critical under the axon tunnel (bulk device->host fetches are
     ~1000x slower than a scalar) and generally the TPU-appropriate eval
-    shape: no flow field ever crosses to the host.
+    shape: no flow field ever crosses to the host. Inputs arrive already
+    padded to a %64 bucket with a validity mask covering the original
+    region, so KITTI-style per-sequence size jitter maps onto a handful
+    of compiled shapes instead of one compile per exact H x W.
     """
+    global _EVAL_TRACE_COUNT
+    _EVAL_TRACE_COUNT += 1
     model = get_model(model_name)
     cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else None
-    a, h, w = pad_to_multiple(batch["input_a"])
-    b, _, _ = pad_to_multiple(batch["input_b"])
-    preds = model.apply(params, {"input_a": a, "input_b": b},
-                        compute_dtype=cd)
-    flow = preds["flow"][:, :h, :w, :]
-    gt = batch["flow"]
-    valid = batch.get("valid")
-    diff = flow - gt
-    epe = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1) + 1e-12)
-    if valid is not None:
-        total = jnp.sum(epe * valid)
-        count = jnp.sum(valid)
+    preds = model.apply(
+        params,
+        {"input_a": batch["input_a"], "input_b": batch["input_b"]},
+        compute_dtype=cd,
+    )
+    epe = jnp.sqrt(
+        jnp.sum(jnp.square(preds["flow"] - batch["flow"]), axis=-1) + 1e-12
+    )
+    valid = batch["valid"]
+    return jnp.sum(epe * valid), jnp.sum(valid)
+
+
+def _bucket_batch(item, multiple=64):
+    """Pad one {image_a, image_b, flow} item to the next %``multiple``
+    bucket: images edge-padded, GT zero-padded, validity mask 0 in the
+    padding (and ANDed with the KITTI mask when present)."""
+    a = np.asarray(item["image_a"], np.float32)
+    b = np.asarray(item["image_b"], np.float32)
+    gt = np.asarray(item["flow"], np.float32)
+    h, w = a.shape[:2]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if gt.shape[-1] == 3:  # KITTI: [u, v, valid]
+        valid = gt[..., 2]
+        gt = gt[..., :2]
     else:
-        total = jnp.sum(epe)
-        count = jnp.asarray(epe.size, jnp.float32)
-    return total, count
+        valid = np.ones((h, w), np.float32)
+    if ph or pw:
+        pad_img = ((0, ph), (0, pw), (0, 0))
+        a = np.pad(a, pad_img, mode="edge")
+        b = np.pad(b, pad_img, mode="edge")
+        gt = np.pad(gt, pad_img)
+        valid = np.pad(valid, ((0, ph), (0, pw)))
+    return {
+        "input_a": jnp.asarray(a)[None],
+        "input_b": jnp.asarray(b)[None],
+        "flow": jnp.asarray(gt)[None],
+        "valid": jnp.asarray(valid)[None],
+    }
 
 
 def evaluate_dataset(model_name, params, dataset, compute_dtype="float32",
@@ -126,22 +160,13 @@ def evaluate_dataset(model_name, params, dataset, compute_dtype="float32",
     Honors KITTI validity masks ((H, W, 3) ground truth). This is the
     fork's dataset-list evaluation surface (SURVEY.md §2.1 test mains
     [fork-delta]). The AEE reduction runs on device; only per-pair
-    scalars are fetched.
+    scalars are fetched, and inputs are padded to %64 shape buckets so
+    mixed-size datasets compile O(buckets) times.
     """
     n = len(dataset) if limit is None else min(limit, len(dataset))
     aee_sum = 0.0
     for i in range(n):
-        item = dataset[i]
-        gt = np.asarray(item["flow"], np.float32)
-        batch = {
-            "input_a": jnp.asarray(item["image_a"], jnp.float32)[None],
-            "input_b": jnp.asarray(item["image_b"], jnp.float32)[None],
-        }
-        if gt.shape[-1] == 3:  # KITTI: [u, v, valid]
-            batch["flow"] = jnp.asarray(gt[..., :2])[None]
-            batch["valid"] = jnp.asarray(gt[..., 2])[None]
-        else:
-            batch["flow"] = jnp.asarray(gt)[None]
+        batch = _bucket_batch(dataset[i])
         total, count = _aee_on_device(
             model_name, params, batch, str(compute_dtype)
         )

@@ -11,13 +11,20 @@ from __future__ import annotations
 
 import optax
 
+# weight_decay: the FlowNet2 paper trains with lambda = 0.0004 (Ilg et
+# al. 2017, sec. "Training"); SURVEY.md §2.1 could not pin whether the
+# TF1 port used 1e-4 or 4e-4 (reference mount unavailable). The paper
+# value is used here — UNVERIFIED against the reference source; re-check
+# src/training_schedules.py when the mount is populated.
+_WEIGHT_DECAY = 0.0004
+
 LONG_SCHEDULE = {
     "name": "long",
     "step_values": [400000, 600000, 800000, 1000000],
     "learning_rates": [0.0001, 0.00005, 0.000025, 0.0000125, 0.00000625],
     "momentum": 0.9,
     "momentum2": 0.999,
-    "weight_decay": 0.0004,
+    "weight_decay": _WEIGHT_DECAY,
     "max_iter": 1200000,
 }
 
@@ -27,7 +34,7 @@ FINE_SCHEDULE = {
     "learning_rates": [0.00001, 0.000005, 0.0000025, 0.00000125, 0.000000625],
     "momentum": 0.9,
     "momentum2": 0.999,
-    "weight_decay": 0.0004,
+    "weight_decay": _WEIGHT_DECAY,
     "max_iter": 500000,
 }
 
@@ -39,7 +46,7 @@ SHORT_SCHEDULE = {
     "learning_rates": [0.0001, 0.00005, 0.000025],
     "momentum": 0.9,
     "momentum2": 0.999,
-    "weight_decay": 0.0004,
+    "weight_decay": _WEIGHT_DECAY,
     "max_iter": 500,
 }
 

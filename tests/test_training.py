@@ -53,6 +53,29 @@ def test_mesh_uses_all_virtual_devices():
     assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
 
 
+def test_multihost_hook_guarded(monkeypatch):
+    """--multihost is a no-op when disabled, fails fast without cluster
+    env, and calls jax.distributed.initialize when env is present."""
+    for k in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID",
+              "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES",
+              "MEGASCALE_COORDINATOR_ADDRESS", "OMPI_COMM_WORLD_SIZE"):
+        monkeypatch.delenv(k, raising=False)
+    assert mesh_lib.maybe_initialize_distributed(False) is False
+    with pytest.raises(RuntimeError, match="COORDINATOR_ADDRESS"):
+        mesh_lib.maybe_initialize_distributed(True)
+
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "localhost:1234")
+    monkeypatch.setenv("NUM_PROCESSES", "2")
+    monkeypatch.setenv("PROCESS_ID", "0")
+    called = {}
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda *a, **kw: called.setdefault("yes", True),
+    )
+    assert mesh_lib.maybe_initialize_distributed(True) is True
+    assert called == {"yes": True}
+
+
 def _small_cfg(tmp_path, name, **overrides):
     """Shared tiny config: this host has ONE CPU core, so the default-run
     trainer tests use a 1-device mesh, batch 2, 64x64 (the architectural
