@@ -93,7 +93,7 @@ def run_bench(model="2", height=448, width=1024, batch=1, iters=16,
         best = min(best, per_pair)
 
     pairs_per_sec = 1.0 / best
-    return {
+    result = {
         "metric": f"flownet{model}_pairs_per_sec_{height}x{width}_b{batch}"
                   f"_{compute_dtype}",
         "value": round(pairs_per_sec, 3),
@@ -103,15 +103,49 @@ def run_bench(model="2", height=448, width=1024, batch=1, iters=16,
         "backend": jax.default_backend(),
     }
 
+    # Roofline accounting (VERDICT r1 #4): XLA's analytic FLOP count and
+    # HBM-byte estimate for ONE forward pair, against the chip's peaks.
+    # mfu = achieved FLOP rate / peak; hbm_util = estimated HBM traffic
+    # rate / peak bandwidth. Together they say which wall the model sits
+    # against (FlowNet2 at b1 is bandwidth/gather-bound, not FLOP-bound).
+    from flownet2_tf_tpu.tools import benchlib
+
+    def one_pair(params, a, b):
+        return m.apply(
+            params, {"input_a": a, "input_b": b}, compute_dtype=cd
+        )["flow"].mean()
+
+    flops, hbm_bytes = benchlib.cost_analysis(one_pair, params, a, b)
+    peak_flops, peak_bw = benchlib.device_peaks()
+    if flops:
+        result["model_tflops_per_pair"] = round(flops / batch / 1e12, 4)
+        if peak_flops:
+            result["mfu"] = round(flops / batch / best / peak_flops, 4)
+    if hbm_bytes:
+        # XLA sums operand+output bytes per HLO op ignoring fusion, so
+        # this is an UPPER BOUND on traffic, not a measurement (for
+        # FlowNet2 it exceeds time x peak-BW several-fold). The physical
+        # ceiling on what actually moved is time x peak bandwidth.
+        result["hbm_gb_xla_opsum_bound"] = round(hbm_bytes / batch / 1e9, 3)
+        if peak_bw:
+            result["hbm_gb_physical_ceiling"] = round(
+                best * peak_bw / 1e9, 3
+            )
+    return result
+
 
 def main():
     result = run_bench()
-    print(json.dumps({
+    line = {
         "metric": result["metric"],
         "value": result["value"],
         "unit": result["unit"],
         "vs_baseline": result["vs_baseline"],
-    }))
+    }
+    for k in ("mfu", "ms_per_pair"):
+        if k in result:
+            line[k] = result[k]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

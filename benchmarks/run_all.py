@@ -73,8 +73,13 @@ def main():
     for k, v in results["ops"].items():
         print(f"   {k:28s} {v if isinstance(v, str) else round(v, 3)}")
 
+    from flownet2_tf_tpu.tools import benchlib
+
+    peak_flops, peak_bw = benchlib.device_peaks()
+
     print("== model forward (bf16)", flush=True)
     results["forward_ms"] = {}
+    results["forward_roofline"] = {}
     models = ("s", "c") if args.quick else ("s", "c", "cs", "css", "sd", "2")
     for name in models:
         m = get_model(name)
@@ -88,8 +93,64 @@ def main():
             n_big=8 if name in ("css", "2") else 12,
         )
         results["forward_ms"][name] = ms
+        flops, hbm = benchlib.cost_analysis(
+            lambda p, a, b, m=m: m.apply(
+                p, {"input_a": a, "input_b": b}, compute_dtype=jnp.bfloat16
+            )["flow"].mean(),
+            p, img, img,
+        )
+        roof = {}
+        if flops:
+            roof["tflops_per_pair"] = flops / 1e12
+            if peak_flops:
+                roof["mfu"] = flops / (ms / 1e3) / peak_flops
+        if hbm:
+            # un-fused per-op byte sum: an upper bound, not traffic
+            roof["hbm_gb_xla_opsum_bound"] = hbm / 1e9
+            if peak_bw:
+                roof["hbm_gb_physical_ceiling"] = (ms / 1e3) * peak_bw / 1e9
+        results["forward_roofline"][name] = roof
+        extra = ""
+        if "mfu" in roof:
+            extra = f"  mfu={roof['mfu']:.3f}"
         print(f"   flownet_{name:3s} {ms:8.2f} ms  "
+              f"({1000.0 / ms:.1f} pairs/sec){extra}", flush=True)
+
+    if not args.quick:
+        # second resolution (the FlyingChairs native 384x512) and the
+        # batch-scaling sweep on the headline model (VERDICT r1 #4/#6)
+        print("== flownet2 extra shapes", flush=True)
+        m2 = get_model("2")
+        p2 = m2.init(jax.random.PRNGKey(0))
+        img_sm = jnp.asarray(rng.rand(1, 384, 512, 3).astype(np.float32))
+        ms = marginal_ms(
+            lambda p, a, b, x: m2.apply(
+                p, {"input_a": a + x, "input_b": b},
+                compute_dtype=jnp.bfloat16,
+            )["flow"].mean(),
+            p2, img_sm, img_sm, n_big=10,
+        )
+        results["forward_ms"]["2_384x512"] = ms
+        print(f"   flownet_2 @384x512  {ms:8.2f} ms "
               f"({1000.0 / ms:.1f} pairs/sec)", flush=True)
+
+        results["batch_sweep_flownet2"] = {}
+        for bsz in (1, 2, 4):
+            ab = jnp.asarray(rng.rand(bsz, H, W, 3).astype(np.float32))
+            bb = jnp.asarray(rng.rand(bsz, H, W, 3).astype(np.float32))
+            ms = marginal_ms(
+                lambda p, a, b, x: m2.apply(
+                    p, {"input_a": a + x, "input_b": b},
+                    compute_dtype=jnp.bfloat16,
+                )["flow"].mean(),
+                p2, ab, bb, n_big=8,
+            )
+            results["batch_sweep_flownet2"][f"b{bsz}"] = {
+                "ms_per_batch": ms,
+                "pairs_per_sec": bsz / (ms / 1e3),
+            }
+            print(f"   flownet_2 b{bsz}  {ms:8.2f} ms/batch "
+                  f"({bsz / (ms / 1e3):.1f} pairs/sec)", flush=True)
 
     print("== train step (FlowNetS, b8 @320x448, bf16)", flush=True)
     ms, examples_per_sec = train_step_ms(

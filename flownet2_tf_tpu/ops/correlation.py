@@ -21,9 +21,13 @@ Python shim ``src/correlation.py``):
 
 The oracle below is pure lax/jnp (a scan over the D^2 displacements with a
 windowed reduction), differentiable by autodiff — it IS the numerics
-contract. The Pallas path (ops/pallas/correlation_kernel.py) reformulates
-the hot FlowNetC configuration as per-row MXU matmuls and carries a custom
-VJP; it must match the oracle to float tolerance (tests/test_correlation.py).
+contract. The performance path is ``_correlation_mxu`` (batched einsum +
+skew-reshape band extraction, ~3x the oracle on v5e at FlowNetC shapes;
+selected by 'auto' when the configuration supports it). The Pallas row
+kernel (ops/pallas/correlation_kernel.py) is the interpret-mode
+sanitizer; it is VPU-bound and intentionally NOT the default. All
+implementations must match the oracle to float tolerance
+(tests/test_correlation.py, tests/test_pallas_kernels.py).
 """
 
 from __future__ import annotations
@@ -64,12 +68,22 @@ def correlation(
 
     impl = implementation or dispatch.get_implementation()
     if impl == "auto":
-        # Measured on v5e (56x128x256, d=20): the XLA scan oracle runs at
-        # ~0.4-1.7 ms vs the Pallas row kernel's ~0.6-1.9 ms (the kernel
-        # re-streams each row D times; see pallas/correlation_kernel.py).
-        # auto therefore keeps the oracle; pass implementation='pallas'
-        # to use the kernel explicitly.
-        impl = "oracle"
+        # Measured on v5e (1x56x128x256, d=20, the FlowNetC shape at
+        # 448x1024): MXU einsum+skew 'mxu' wins over the XLA scan oracle
+        # and over the Pallas VPU row kernel (both of which are
+        # VPU-compute-bound at the same throughput class); see
+        # _correlation_mxu and benchmarks/results.json "ops". auto picks
+        # 'mxu' where the configuration is supported, 'oracle' otherwise.
+        if _mxu_supported(kernel_size, max_displacement, stride_1, stride_2,
+                          pad):
+            impl = "mxu"
+        else:
+            impl = "oracle"
+    if impl == "mxu":
+        return _correlation_mxu(
+            input_a, input_b, kernel_size, max_displacement, stride_1,
+            stride_2, pad,
+        )
     if impl == "pallas":
         from flownet2_tf_tpu.ops.pallas.correlation_kernel import (
             correlation_pallas,
@@ -85,17 +99,16 @@ def correlation(
     )
 
 
-def _pallas_supported(shape, kernel_size, max_displacement, stride_1,
-                      stride_2, pad):
-    # Fast path covers the FlowNetC configuration family: pointwise kernel,
-    # unit stride_1, pad == max_displacement.
-    if not (kernel_size == 1 and stride_1 == 1 and pad == max_displacement):
-        return False
-    try:
-        from flownet2_tf_tpu.ops.pallas import correlation_kernel  # noqa: F401
-    except ImportError:
-        return False
-    return True
+def _mxu_supported(kernel_size, max_displacement, stride_1, stride_2, pad):
+    # MXU fast path covers the FlowNetC configuration family: pointwise
+    # kernel, unit stride_1, pad == max_displacement, displacement grid
+    # aligned to stride_2.
+    return (
+        kernel_size == 1
+        and stride_1 == 1
+        and pad == max_displacement
+        and max_displacement % stride_2 == 0
+    )
 
 
 def correlation_output_shape(shape, kernel_size, max_displacement, stride_1,
@@ -108,6 +121,64 @@ def correlation_output_shape(shape, kernel_size, max_displacement, stride_1,
     r = max_displacement // stride_2
     d = 2 * r + 1
     return (n, out_h, out_w, d * d)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _correlation_mxu(a, b, kernel_size, max_displacement, stride_1,
+                     stride_2, pad):
+    """Cost volume as D batched matmuls + skew-reshape band extraction.
+
+    The TPU-winning formulation. For each vertical displacement dy, ONE
+    batched (W, C) x (C, W + 2d) matmul per image row computes ALL
+    pairwise pixel dot products ``M[.., x, z] = sum_c a[.., x, c] *
+    b_pad[.. + dy, z, c]`` on the 128x128 systolic array. The D cost
+    channels are the stride-s2 diagonals ``M[.., x, x + dx]`` — dug out
+    with the skew trick: pad the last dim by 1, flatten the last two
+    dims, re-view with row stride (W + 2d + 2); the stride mismatch of
+    +1 per row shears the matrix so diagonals land in columns. Pure
+    static pad/reshape/slice — no gather, autodiff-transparent, and XLA
+    keeps the matmuls on the MXU (~12.5% of M is kept at FlowNetC
+    shapes; the MXU's throughput edge over any VPU product+reduce
+    formulation dwarfs the discard). Measured on v5e at (1,56,128,256):
+    ~3x over the lax.scan oracle; see benchmarks/results.json.
+    """
+    n, h, w, c = a.shape
+    s = max_displacement
+    r = s // stride_2
+    d = 2 * r + 1
+    wp = w + 2 * s
+
+    acc = jnp.promote_types(a.dtype, jnp.float32)
+    b_pad = jnp.pad(b, ((0, 0), (s, s), (s, s), (0, 0)))
+    inv_norm = jnp.asarray(1.0 / c, acc)
+    # f32 inputs = the parity path: force true-f32 MXU passes (XLA's
+    # DEFAULT precision rounds matmul operands to bf16 on TPU). bf16
+    # inputs = the perf path: single-pass bf16 with f32 accumulation.
+    precision = (
+        lax.Precision.HIGHEST if a.dtype == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+
+    outs = []
+    for dyi in range(d):
+        bs = lax.dynamic_slice(
+            b_pad, (0, dyi * stride_2, 0, 0), (n, h, wp, c)
+        )
+        m = jnp.einsum(
+            "nhwc,nhzc->nhwz", a, bs, preferred_element_type=acc,
+            precision=precision,
+        )  # (n, h, w, wp)
+        # skew: out[..., x, k] = m[..., x, x + k*stride_2]
+        mp = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, 1)))  # row len wp+1
+        flat = mp.reshape(n, h, w * (wp + 1))
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, w)))
+        sheared = flat.reshape(n, h, w, wp + 2)
+        band = sheared[..., : 2 * s + 1]  # (n, h, w, 2s+1)
+        if stride_2 > 1:
+            band = band[..., ::stride_2]  # (n, h, w, d)
+        outs.append(band)
+    cv = jnp.concatenate(outs, axis=-1)  # dy-major channel order
+    return cv * inv_norm
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))

@@ -1,16 +1,25 @@
-"""Kernel implementation dispatch: 'oracle' (pure jnp/XLA) vs 'pallas'.
+"""Kernel implementation dispatch: 'oracle' / 'mxu' / 'pallas'.
 
 The reference loads its CUDA ops from ``./build/*.so`` unconditionally
-(reference ``src/correlation.py`` etc.). Here every op has two
+(reference ``src/correlation.py`` etc.). Here every op has multiple
 implementations with identical numerics contracts:
 
 * ``oracle`` — pure jax.numpy / lax. Always available (CPU/TPU), fully
   differentiable through autodiff. The correctness reference.
-* ``pallas`` — hand-tiled Pallas TPU kernels with custom VJPs. The
-  performance path on real TPU hardware.
+* ``mxu`` — correlation only: the batched-einsum + skew-reshape
+  formulation that puts the cost-volume contraction on the systolic
+  array (``ops/correlation.py::_correlation_mxu``). Measured ~3x over
+  the oracle at FlowNetC shapes on v5e; the performance path.
+* ``pallas`` — hand-tiled Pallas TPU kernels with custom VJPs. For
+  correlation the Pallas row kernel is VPU-bound and does NOT beat the
+  oracle (measured; see pallas/correlation_kernel.py) — it is kept as
+  the interpret-mode sanitizer and for explicit use. flow_warp has no
+  Pallas variant at all (Mosaic has no vectorized VMEM gather); its
+  'pallas'/'mxu' settings resolve to the packed-gather XLA path.
 
-``auto`` picks pallas on TPU backends when the op's fast path supports the
-requested configuration, oracle otherwise.
+``auto`` picks the fastest measured implementation per op: 'mxu' for
+correlation when the configuration supports it, the packed-gather XLA
+path for flow_warp, 'oracle' otherwise.
 """
 
 from __future__ import annotations
@@ -19,7 +28,7 @@ import contextlib
 import os
 import threading
 
-_VALID = ("auto", "oracle", "pallas")
+_VALID = ("auto", "oracle", "mxu", "pallas")
 
 _state = threading.local()
 

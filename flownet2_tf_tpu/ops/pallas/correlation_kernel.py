@@ -5,7 +5,7 @@ pad == max_displacement``; reference
 ``src/ops/correlation/correlation_kernel.cu.cc`` CorrelateData with the
 FlowNetC attrs k=1, d=20, s1=1, s2=2, pad=20 -> 441 channels).
 
-Formulation (TPU-first, no gathers): pre-pad ``b`` spatially by
+Formulation (VPU row kernel): pre-pad ``b`` spatially by
 ``max_displacement``; grid = (batch, D, H) over displacement-rows; each
 program holds one row of ``a`` (W x C, VMEM) and the matching
 dy-shifted row of padded ``b`` ((W + 2d) x C), and unrolls the D dx
@@ -14,6 +14,20 @@ c] / C``. All slicing is static, the channel reduction vectorizes on
 the VPU over the 128-lane C axis, and the output block writes the
 dy-major 441-channel group directly (channel order matches the CUDA
 kernel's top_channel enumeration).
+
+This kernel is VPU-compute-bound at the same throughput class as the
+XLA scan oracle and does not beat it (measured r2: 1.3-3.8 ms vs
+1.5-1.8 ms oracle at FlowNetC 448x1024 shapes). An in-kernel MXU
+variant (one (W, C) x (C, W+2d) ``dot_general`` per row computing all
+pairwise pixel dots, then masked-reduce diagonal extraction) was built
+and measured SLOWER (3.8 ms): the band extraction touches W^2 lanes
+per displacement on the VPU, which re-creates the cost the matmul was
+supposed to remove. The formulation that actually puts this op on the
+MXU and wins is the batched-einsum + skew-reshape extraction in
+``ops/correlation.py::_correlation_mxu`` — kept OUTSIDE Pallas because
+its wins come from XLA's batched matmul + layout ops, not from manual
+tiling. This row kernel remains as the Pallas reference
+implementation and interpret-mode sanitizer.
 
 Gradients: ``jax.custom_vjp`` whose backward runs through the jnp
 oracle's autodiff (same numerics contract; the fwd kernel itself is
