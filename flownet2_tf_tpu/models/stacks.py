@@ -36,9 +36,12 @@ from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
 
 
 def _second_stage_input(input_a, input_b, flow, compute_dtype=None):
-    # warp the f32 image: a bf16 gather table costs MORE in-model (bf16
-    # (2,1) sublane packing penalizes single-row gathers; measured
-    # 10.2 -> 8.0 ms on the CS stack by keeping the table f32)
+    # The warp gather table stays f32 even on the bf16 perf path.
+    # Measured r2 (448x1024 flat-gather, FlowNet2 scan-chained on v5e):
+    # bf16 tables win ISOLATED (0.17 vs 2.1 ms per gather) but lose
+    # IN-MODEL (29.4 vs 24.7 ms end-to-end) — the f32->bf16 relayout
+    # XLA inserts around the packed-table build costs more than the
+    # halved gather traffic saves. See ops/sampling.py gather_dtype.
     warped = flow_warp(input_b, flow)
     brightness_error = common.channel_norm(
         input_a - warped.astype(input_a.dtype)
@@ -190,7 +193,7 @@ def apply_flownet2(params, inputs, training: bool = False,
     # both branches warp the SAME image by different flows: batch them
     # into one gather (the warp gather is the profile's top cost; one
     # 2N-row gather amortizes the packed-table build and launch). f32
-    # table: see _second_stage_input.
+    # gather tables: see _second_stage_input.
     warped_pair = flow_warp(
         jnp.concatenate([input_b, input_b], axis=0),
         jnp.concatenate([flow_css, flow_sd], axis=0),

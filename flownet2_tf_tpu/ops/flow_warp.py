@@ -33,7 +33,7 @@ from flownet2_tf_tpu.ops.sampling import bilinear_gather
 
 
 def flow_warp(image, flow, border: str = "clamp",
-              implementation: str | None = None):
+              implementation: str | None = None, gather_dtype=None):
     """Warp ``image`` (NHWC) backward by ``flow`` (NHW2, (u, v) order).
 
     Drop-in equivalent of the reference shim
@@ -54,11 +54,11 @@ def flow_warp(image, flow, border: str = "clamp",
     # Pallas version would scalar-loop (measured rationale in
     # docs/DESIGN.md). 'pallas' therefore resolves to the same path.
     del impl
-    return _flow_warp_oracle(image, flow, border)
+    return _flow_warp_oracle(image, flow, border, gather_dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _flow_warp_oracle(image, flow, border):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _flow_warp_oracle(image, flow, border, gather_dtype=None):
     n, h, w, c = image.shape
     # Coordinates MUST be f32 (bf16 would quantize x~1024 to ~4 px);
     # gathered image data keeps its dtype (bf16 perf path halves gather
@@ -72,7 +72,7 @@ def _flow_warp_oracle(image, flow, border):
     x2 = xs + flow[..., 0]
     y2 = ys + flow[..., 1]
 
-    out = bilinear_gather(image, x2, y2)
+    out = bilinear_gather(image, x2, y2, gather_dtype=gather_dtype)
 
     if border == "zero":
         inside = (
