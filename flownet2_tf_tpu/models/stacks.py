@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from flownet2_tf_tpu.models import common, flownet_c, flownet_s, flownet_sd
 from flownet2_tf_tpu.models.base import FLOW_SCALE, multiscale_loss
-from flownet2_tf_tpu.ops.flow_warp import flow_warp
+from flownet2_tf_tpu.ops.flow_warp import flow_warp, flow_warp_multi
 from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
 
 
@@ -190,14 +190,19 @@ def apply_flownet2(params, inputs, training: bool = False,
     flow_css = preds_css["flow"]
     flow_sd = preds_sd["flow"]
 
-    # both branches warp the SAME image by different flows: batch them
-    # into one gather (the warp gather is the profile's top cost; one
-    # 2N-row gather amortizes the packed-table build and launch). f32
-    # gather tables: see _second_stage_input.
-    warped_pair = flow_warp(
-        jnp.concatenate([input_b, input_b], axis=0),
-        jnp.concatenate([flow_css, flow_sd], axis=0),
-    )
+    # both branches warp the SAME image by different flows: share one
+    # packed gather table between them (the warp gather is the
+    # profile's top cost). f32 gather tables: see _second_stage_input.
+    n = input_b.shape[0]
+    if n == 1:
+        warped_pair = flow_warp_multi(
+            input_b, jnp.concatenate([flow_css, flow_sd], axis=0)
+        )
+    else:
+        warped_pair = flow_warp(
+            jnp.concatenate([input_b, input_b], axis=0),
+            jnp.concatenate([flow_css, flow_sd], axis=0),
+        )
     warped_css, warped_sd = jnp.split(warped_pair, 2, axis=0)
 
     def branch_features(warped, flow):
@@ -223,7 +228,19 @@ def apply_flownet2(params, inputs, training: bool = False,
     )
 
     acts = {}
-    for name, _, stride, _, act in FUSION:
+    fuse_conv0_s2d = None
+    fusion = FUSION
+    if common.S2D_HEADS:
+        # fuse_conv0 (full-res 3x3/1, 11ch in) + fuse_conv1 (3x3/2) run
+        # as one space-to-depth pair; conv0's activation is kept in S2D
+        # form for the level-0 skip below. Exactly equivalent
+        # (models/common.py S2D section).
+        x, fuse_conv0_s2d = common.conv_pair3x3_s2d(
+            params["fuse_conv0"], params["fuse_conv1"], x,
+            compute_dtype=cd, return_intermediate=True,
+        )
+        fusion = FUSION[2:]
+    for name, _, stride, _, act in fusion:
         x = common.conv(params[name], x, stride=stride, act=act,
                         compute_dtype=cd)
         acts[name] = x
@@ -247,20 +264,47 @@ def apply_flownet2(params, inputs, training: bool = False,
                                 compute_dtype=cd)
     preds["predict_flow1"] = flow1
 
-    up_feat0 = common.deconv(params["fuse_deconv0"], concat1,
-                             compute_dtype=cd)
-    up_flow0 = common.deconv(
-        params["fuse_upsample_flow1to0"], flow1, act=False, compute_dtype=cd
-    )
-    concat0 = jnp.concatenate(
-        [acts["fuse_conv0"], up_feat0,
-         up_flow0.astype(acts["fuse_conv0"].dtype)], axis=-1
-    )
-    inter0 = common.conv(
-        params["fuse_interconv0"], concat0, act=False, compute_dtype=cd
-    )
-    flow0 = common.predict_flow(params["predict_flow0"], inter0,
-                                compute_dtype=cd)
+    if fuse_conv0_s2d is not None:
+        # level-0 chain entirely in S2D space: the deconvs emit
+        # S2D-encoded full-res tensors at half-res shape, interconv0 /
+        # predict_flow0 run as transformed 3x3 convs, and only the
+        # final 2-channel flow is unfolded back to full resolution.
+        up_feat0 = common.deconv_s2d(params["fuse_deconv0"], concat1,
+                                     compute_dtype=cd)
+        up_flow0 = common.deconv_s2d(
+            params["fuse_upsample_flow1to0"], flow1, act=False,
+            compute_dtype=cd,
+        )
+        concat0 = jnp.concatenate(
+            [fuse_conv0_s2d, up_feat0.astype(fuse_conv0_s2d.dtype),
+             up_flow0.astype(fuse_conv0_s2d.dtype)], axis=-1
+        )
+        inter0 = common.conv3x3s1_s2d(
+            params["fuse_interconv0"], concat0, in_splits=(64, 16, 2),
+            act=False, compute_dtype=cd,
+        )
+        flow0 = common.depth_to_space(
+            common.conv3x3s1_s2d(
+                params["predict_flow0"], inter0, act=False,
+                compute_dtype=cd,
+            )
+        )
+    else:
+        up_feat0 = common.deconv(params["fuse_deconv0"], concat1,
+                                 compute_dtype=cd)
+        up_flow0 = common.deconv(
+            params["fuse_upsample_flow1to0"], flow1, act=False,
+            compute_dtype=cd,
+        )
+        concat0 = jnp.concatenate(
+            [acts["fuse_conv0"], up_feat0,
+             up_flow0.astype(acts["fuse_conv0"].dtype)], axis=-1
+        )
+        inter0 = common.conv(
+            params["fuse_interconv0"], concat0, act=False, compute_dtype=cd
+        )
+        flow0 = common.predict_flow(params["predict_flow0"], inter0,
+                                    compute_dtype=cd)
     preds["predict_flow0"] = flow0
 
     preds["flow"] = resize_bilinear_tf1(flow0 * 20.0, in_h, in_w)

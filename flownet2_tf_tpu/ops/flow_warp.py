@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from flownet2_tf_tpu.ops import dispatch
-from flownet2_tf_tpu.ops.sampling import bilinear_gather
+from flownet2_tf_tpu.ops.sampling import bilinear_gather, bilinear_gather_multi
 
 
 def flow_warp(image, flow, border: str = "clamp",
@@ -55,6 +55,42 @@ def flow_warp(image, flow, border: str = "clamp",
     # docs/DESIGN.md). 'pallas' therefore resolves to the same path.
     del impl
     return _flow_warp_oracle(image, flow, border, gather_dtype)
+
+
+def flow_warp_multi(image, flows, border: str = "clamp",
+                    gather_dtype=None):
+    """Warp ONE image ((1, H, W, C)) by M flows ((M, H, W, 2)) at once.
+
+    Builds the neighbor-packed gather table once and reuses it for all M
+    flows — used by the FlowNet2 fusion stage, which warps the same
+    ``input_b`` by the CSS and SD flows (reference ``src/flownet2/
+    flownet2.py`` warps input_b twice). Returns (M, H, W, C).
+    """
+    if image.shape[0] != 1 or image.shape[1:3] != flows.shape[1:3]:
+        raise ValueError(
+            f"flow_warp_multi expects (1,H,W,C) image and (M,H,W,2) "
+            f"flows, got {image.shape} / {flows.shape}"
+        )
+    return _flow_warp_multi_impl(image, flows, border, gather_dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _flow_warp_multi_impl(image, flows, border, gather_dtype=None):
+    n, h, w, c = image.shape
+    if not jnp.issubdtype(image.dtype, jnp.floating):
+        image = image.astype(jnp.float32)
+    flows = flows.astype(jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    x2 = xs + flows[..., 0]
+    y2 = ys + flows[..., 1]
+    out = bilinear_gather_multi(image, x2, y2, gather_dtype=gather_dtype)
+    if border == "zero":
+        inside = (
+            (x2 >= 0.0) & (x2 <= w - 1) & (y2 >= 0.0) & (y2 <= h - 1)
+        )
+        out = out * inside[..., None].astype(out.dtype)
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

@@ -9,23 +9,28 @@ Measured on v5e at 448x1024x3 (benchmarks/warp_experiments.py):
   record, 3-D operand (N, H*W, 12) via
   ``take_along_axis`` ("packed", round-1 path):   2.2 ms f32 / 1.4 bf16
 * the same record but a 2-D operand (N*H*W, 12)
-  via ``jnp.take`` ("packed_flat", this file):    2.1 ms f32 / 0.17 bf16
-
-The batch-folded 2-D operand is the load-bearing trick: XLA's TPU
-gather emitter handles a rank-2 operand with a small minor dim
-dramatically better than the equivalent rank-3 batched gather (8x at
-bf16 — the bf16 record is 24 bytes, within one 32-byte sublane word).
+  via ``jnp.take`` ("packed_flat", this file):    2.1 ms f32 (at N=1)
 
 So: pre-pack ``Z[y, x] = [img[y,x], img[y,x+1], img[y+1,x],
-img[y+1,x+1]]`` with three vectorized shifts (cheap, fused), flatten
-batch into the gather axis, gather Z once at the floor coordinate, and
-lerp the four packed taps.
+img[y+1,x+1]]`` with three vectorized shifts (cheap, fused), gather Z
+once at the floor coordinate, and lerp the four packed taps.
+
+Batch scaling: XLA's TPU gather emitter degrades superlinearly with the
+OPERAND row count — measured ~4.8 ns/record on a 459K-row operand but
+~23 ns/record on a 1.8M-row operand (in-model, b4), which made batched
+inference anti-scale (VERDICT r1 #6). The batch loop below therefore
+splits the gather per sample: N gathers each over one sample's table,
+every one in the fast regime. Measured FlowNet2 b4: 47.0 -> 29.4
+ms/pair end-to-end. Within one sample the record rate is flat across
+record widths 12..64 B (cost is per-record issue rate, not bandwidth),
+so further packing does not help; ~2 ms per full-res (459K-record)
+gather is the emitter's floor on v5e.
 
 Border semantics: sample coordinates are clamped to [0, size-1] BEFORE
 the floor split ("clamp-first"), which is algebraically identical to
-clamping the four neighbor indices separately (border replicate, the
-reference CUDA FlowWarp behavior) but keeps the packed gather exact at
-the edges.
+the reference CUDA kernel's per-tap index clamp for border-replicate
+sampling (reference src/ops/flow_warp/flow_warp.cu.cc) because a
+clamped coordinate yields wx/wy in {0, 1} at the borders.
 """
 
 from __future__ import annotations
@@ -33,34 +38,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def bilinear_gather(image, x2, y2, gather_dtype=None):
-    """Sample NHWC ``image`` at float coords (B, h, w), border-replicate.
-
-    Returns (B, h, w, C). Differentiable in image and coords.
-
-    ``gather_dtype``: optional storage dtype for the packed 4-tap table
-    (the gather operand ONLY — coordinates and lerp weights stay f32).
-    bf16 packs the record into 24 bytes, one sublane word, and gathers
-    ~3.4x faster than f32 at 448x1024 ISOLATED (0.62 vs 2.09 ms) —
-    but measured r2 it LOSES in-model (FlowNet2 29.4 vs 24.7 ms): the
-    f32->bf16 relayout XLA inserts around the table build outweighs the
-    halved gather traffic. The models therefore leave it None; the knob
-    stays for shapes/backends where the isolated win transfers. Output
-    dtype follows gather_dtype when set.
-    """
+def _pack_table(image, gather_dtype=None):
+    """(1, h, w, c) -> flat (h*w, 4c) 4-neighbor record table."""
     n, h, w, c = image.shape
-    out_shape = x2.shape
-
-    x2 = jnp.clip(x2, 0.0, w - 1)
-    y2 = jnp.clip(y2, 0.0, h - 1)
-    x0 = jnp.floor(x2)
-    y0 = jnp.floor(y2)
-    wx = (x2 - x0)[..., None]
-    wy = (y2 - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    # neighbor-packed copy: edge-pad right/bottom then 4 shifted views
     ip = jnp.pad(image, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
     z = jnp.concatenate(
         [
@@ -73,17 +53,76 @@ def bilinear_gather(image, x2, y2, gather_dtype=None):
     )  # (n, h, w, 4C)
     if gather_dtype is not None:
         z = z.astype(gather_dtype)
+    return z.reshape(n * h * w, 4 * c)
 
-    # fold batch into the gather axis: rank-2 operand, flat indices
-    flat = z.reshape(n * h * w, 4 * c)
-    batch_off = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None, None]
-    idx = (y0i * w + x0i + batch_off).reshape(-1)
+
+def _gather_lerp(flat, x2, y2, w, c):
+    """Gather packed records from ``flat`` ((h*w, 4c)) and lerp.
+
+    ``x2``/``y2``: (1, h', w') pre-clipped float coords into the table's
+    source grid.
+    """
+    out_shape = x2.shape
+    x0 = jnp.floor(x2)
+    y0 = jnp.floor(y2)
+    wx = (x2 - x0)[..., None]
+    wy = (y2 - y0)[..., None]
+    idx = (y0.astype(jnp.int32) * w + x0.astype(jnp.int32)).reshape(-1)
     g = jnp.take(flat, idx, axis=0)
     g = g.reshape(out_shape + (4, c))
-
     w00 = (1 - wx) * (1 - wy)
     w01 = wx * (1 - wy)
     w10 = (1 - wx) * wy
     w11 = wx * wy
     wts = jnp.stack([w00, w01, w10, w11], axis=-2)  # (..., 4, 1)
     return jnp.sum(g * wts.astype(g.dtype), axis=-2)
+
+
+def bilinear_gather(image, x2, y2, gather_dtype=None):
+    """Sample NHWC ``image`` at float coords (B, h, w), border-replicate.
+
+    Returns (B, h, w, C). Differentiable in image and coords. Batched
+    inputs gather per-sample (see module docstring: the gather emitter's
+    record rate collapses on large operands, so N small gathers beat one
+    big one).
+
+    ``gather_dtype``: optional storage dtype for the packed 4-tap table
+    (the gather operand ONLY — coordinates and lerp weights stay f32).
+    bf16 gathers ~1.5x faster ISOLATED but measured r2 it LOSES in-model
+    (FlowNet2 29.4 vs 24.7 ms): the f32->bf16 relayout XLA inserts
+    around the table build outweighs the halved gather traffic. The
+    models therefore leave it None; the knob stays for shapes/backends
+    where the isolated win transfers. Output dtype follows gather_dtype
+    when set.
+    """
+    n, h, w, c = image.shape
+    x2 = jnp.clip(x2, 0.0, w - 1)
+    y2 = jnp.clip(y2, 0.0, h - 1)
+    outs = []
+    for i in range(n):
+        flat = _pack_table(image[i : i + 1], gather_dtype)
+        outs.append(
+            _gather_lerp(flat, x2[i : i + 1], y2[i : i + 1], w, c)
+        )
+    return outs[0] if n == 1 else jnp.concatenate(outs, axis=0)
+
+
+def bilinear_gather_multi(image, x2, y2, gather_dtype=None):
+    """Sample ONE image ((1, h, w, c)) at M coordinate sets.
+
+    ``x2``/``y2``: (M, h', w'). Builds the packed table ONCE and gathers
+    M times from it — the fusion-stage double warp (same image, two
+    flows) uses this instead of duplicating the image into a batch.
+    Returns (M, h', w', C).
+    """
+    n, h, w, c = image.shape
+    assert n == 1, "bilinear_gather_multi expects a single image"
+    x2 = jnp.clip(x2, 0.0, w - 1)
+    y2 = jnp.clip(y2, 0.0, h - 1)
+    flat = _pack_table(image, gather_dtype)
+    m = x2.shape[0]
+    outs = [
+        _gather_lerp(flat, x2[j : j + 1], y2[j : j + 1], w, c)
+        for j in range(m)
+    ]
+    return outs[0] if m == 1 else jnp.concatenate(outs, axis=0)
