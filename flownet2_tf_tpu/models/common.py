@@ -188,6 +188,211 @@ def predict_flow(p, x, compute_dtype=None):
 
 
 # ---------------------------------------------------------------------------
+# Space-to-depth head convolutions (perf transform, numerically exact)
+# ---------------------------------------------------------------------------
+#
+# Full-resolution low-channel convolutions are the worst-mapped ops in
+# the FlowNet family on TPU: 3-14 input channels leave 90+% of the
+# 128-lane VPU/MXU tiles idle and force layout copies around every
+# full-res activation. The classic fix is space-to-depth: fold each 2x2
+# spatial block into channels (H, W, C) -> (H/2, W/2, 4C) and rewrite
+# the head conv's weights so the result is EXACTLY the same function
+# (same multiply-adds, reassociated). Derivations and the measured
+# equivalence live in benchmarks/s2d_experiments.py. The transform is
+# linear in the weights, so autodiff trains the ORIGINAL parameter
+# layout transparently and checkpoints stay reference-compatible.
+
+import os as _os
+
+# escape hatch for A/B measurements; models read this at trace time
+S2D_HEADS = _os.environ.get("FLOWNET2_TPU_S2D", "1") != "0"
+
+
+def space_to_depth(x):
+    """NHWC 2x2 block fold: (n, h, w, c) -> (n, h/2, w/2, 4c).
+
+    Channel order is phase-major (qy, qx, c) — the weight transforms
+    below assume it.
+    """
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _s2d_w7(w):
+    """(7,7,ci,o) -> (4,4,4ci,o) for the 7x7/2 pad-3 head.
+
+    out(i,j) = sum_t W[ty,tx] x(2i+ty-3, 2j+tx-3); with S2D cell
+    x(2(i+da-2)+qy, ...) the tap is ty = 2da+qy-1, da in [0,4) (taps
+    outside [0,7) are zero), conv pad (2,1) per dim.
+    """
+    ci, o = w.shape[2], w.shape[3]
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # index ty+1 in [0,8)
+    wp = wp.reshape(4, 2, 4, 2, ci, o)  # [da, qy, db, qx, ci, o]
+    return wp.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * ci, o)
+
+
+def _s2d_w3s1(w):
+    """(3,3,ci,co) -> (3,3,4ci,4co) for a full-res 3x3/1 pad-1 conv,
+    S2D input AND output (phase-major (py,px,co) output channels).
+
+    Tap: ty = 2da+qy-py-1, da in [0,3)."""
+    ci, co = w.shape[2], w.shape[3]
+    blocks = []
+    for py in range(2):
+        row = []
+        for px in range(2):
+            # index (2da+qy) in [0,6); W entry at ty = 2da+qy-py-1
+            wp = jnp.pad(
+                w, ((py + 1, 2 - py), (px + 1, 2 - px), (0, 0), (0, 0))
+            )  # (6,6,ci,co)
+            wp = wp.reshape(3, 2, 3, 2, ci, co)
+            row.append(wp.transpose(0, 2, 1, 3, 4, 5))  # (3,3,2,2,ci,co)
+        blocks.append(row)
+    # assemble (3,3, qy,qx,ci, py,px,co)
+    out = jnp.stack(
+        [jnp.stack(r, axis=0) for r in blocks], axis=0
+    )  # (py, px, 3,3, qy,qx, ci, co)
+    out = out.transpose(2, 3, 4, 5, 6, 0, 1, 7)
+    return out.reshape(3, 3, 4 * ci, 4 * co)
+
+
+def _s2d_w3s2(w):
+    """(3,3,c,o) -> (2,2,4c,o) for a 3x3/2 pad-1 conv consuming S2D
+    input. Tap: ty = 2da+qy-1, da in [0,2); conv pad (1,0) per dim."""
+    c, o = w.shape[2], w.shape[3]
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (4,4,c,o)
+    wp = wp.reshape(2, 2, 2, 2, c, o)
+    return wp.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * c, o)
+
+
+def depth_to_space(x):
+    """Inverse of :func:`space_to_depth`: (n, h, w, 4c) -> (n, 2h, 2w, c)."""
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, 2 * h, 2 * w, c)
+
+
+def _s2d_wdeconv4(w):
+    """(4,4,ci,co) -> (3,3,ci,4co): the 4x4/2 pad-1 deconv (see
+    :func:`deconv`) emitting S2D-encoded output at input resolution.
+
+    deconv output: out(2i+py) = sum_ty w[ty] x[(2i+py+ty-2)/2] for
+    py+ty even => phase py taps w[2dm-py] at input cell i+dm-1,
+    dm in [0,3); conv pad (1,1)."""
+    ci, co = w.shape[2], w.shape[3]
+    wp = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))  # index s+1, s in [-1,5)
+    wp = wp.reshape(3, 2, 3, 2, ci, co)  # [dm, 1-py, dn, 1-px, ci, co]
+    wp = wp[:, ::-1, :, ::-1]  # [dm, py, dn, px, ci, co]
+    return wp.transpose(0, 2, 4, 1, 3, 5).reshape(3, 3, ci, 4 * co)
+
+
+def deconv_s2d(p, x, act: bool = True, compute_dtype=None):
+    """Drop-in for :func:`deconv` that returns the S2D-encoded output
+    (same resolution as ``x``, 4x channels, phase-major)."""
+    io_dtype, precision = _conv_io_dtypes(compute_dtype, act)
+    y = lax.conv_general_dilated(
+        x.astype(io_dtype),
+        _s2d_wdeconv4(p["weights"]).astype(io_dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=_DN,
+        precision=precision,
+    )
+    y = y + jnp.tile(p["biases"], 4).astype(io_dtype)
+    if act:
+        y = leaky_relu(y)
+    return y
+
+
+def conv3x3s1_s2d(p, x, in_splits=None, act: bool = True,
+                  compute_dtype=None):
+    """Drop-in for a full-res 3x3/1 ``conv`` on an S2D-encoded input,
+    returning the S2D-encoded output.
+
+    ``in_splits``: original-channel sizes of the blocks whose S2D forms
+    were concatenated to build ``x`` (e.g. (64, 16, 2) for a skip/
+    deconv/flow concat) — each weight block is transformed separately
+    because S2D(concat(A, B)) != concat(S2D(A), S2D(B)).
+    """
+    w = p["weights"]
+    if in_splits is None:
+        in_splits = (w.shape[2],)
+    io_dtype, precision = _conv_io_dtypes(compute_dtype, act)
+    parts = []
+    off = 0
+    for s in in_splits:
+        parts.append(_s2d_w3s1(w[:, :, off : off + s]))
+        off += s
+    w2 = jnp.concatenate(parts, axis=2)
+    y = lax.conv_general_dilated(
+        x.astype(io_dtype),
+        w2.astype(io_dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=_DN,
+        precision=precision,
+    )
+    y = y + jnp.tile(p["biases"], 4).astype(io_dtype)
+    if act:
+        y = leaky_relu(y)
+    return y
+
+
+def conv7x7s2_s2d(p, x, compute_dtype=None):
+    """Drop-in for ``conv(p, x, stride=2)`` with a 7x7 kernel: S2D the
+    input, run an equivalent 4x4/1 conv on 4x channels."""
+    w = p["weights"]
+    io_dtype, precision = _conv_io_dtypes(compute_dtype, True)
+    y = lax.conv_general_dilated(
+        space_to_depth(x.astype(io_dtype)),
+        _s2d_w7(w).astype(io_dtype),
+        window_strides=(1, 1),
+        padding=((2, 1), (2, 1)),
+        dimension_numbers=_DN,
+        precision=precision,
+    )
+    return leaky_relu(y + p["biases"].astype(io_dtype))
+
+
+def conv_pair3x3_s2d(p0, p1, x, compute_dtype=None,
+                     return_intermediate: bool = False):
+    """Drop-in for ``conv1(conv0(x))`` where conv0 is a full-res 3x3/1
+    and conv1 a 3x3/2 (the FlowNetSD conv0/conv1 and FlowNet2
+    fuse_conv0/fuse_conv1 heads): both run in S2D space, so no full-res
+    activation is ever materialized. Output equals the plain pair's
+    half-res conv1 output exactly. With ``return_intermediate`` also
+    returns conv0's S2D-encoded activation (for decoder skips that
+    consume it — e.g. FlowNet2's fuse_conv0 -> fuse_interconv0 path)."""
+    io_dtype, precision = _conv_io_dtypes(compute_dtype, True)
+    x2 = space_to_depth(x.astype(io_dtype))
+    y0 = lax.conv_general_dilated(
+        x2,
+        _s2d_w3s1(p0["weights"]).astype(io_dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=_DN,
+        precision=precision,
+    )
+    y0 = leaky_relu(y0 + jnp.tile(p0["biases"], 4).astype(io_dtype))
+    y = lax.conv_general_dilated(
+        y0,
+        _s2d_w3s2(p1["weights"]).astype(io_dtype),
+        window_strides=(1, 1),
+        padding=((1, 0), (1, 0)),
+        dimension_numbers=_DN,
+        precision=precision,
+    )
+    y = leaky_relu(y + p1["biases"].astype(io_dtype))
+    if return_intermediate:
+        return y, y0
+    return y
+
+
+# ---------------------------------------------------------------------------
 # Loss primitives
 # ---------------------------------------------------------------------------
 

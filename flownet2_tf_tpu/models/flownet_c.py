@@ -94,7 +94,12 @@ def apply(params, inputs, training: bool = False, compute_dtype=None):
     x = jnp.concatenate([a, b], axis=0)
     feats_a, feats_b = {}, {}
     for name, _, stride, _ in TOWER:
-        x = common.conv(params[name], x, stride=stride, compute_dtype=cd)
+        if name == "conv1" and common.S2D_HEADS:
+            # space-to-depth head (models/common.py S2D section)
+            x = common.conv7x7s2_s2d(params[name], x, compute_dtype=cd)
+        else:
+            x = common.conv(params[name], x, stride=stride,
+                            compute_dtype=cd)
         feats_a[name], feats_b[name] = jnp.split(x, 2, axis=0)
 
     cc = correlation(feats_a["conv3"], feats_b["conv3"], **CORR_KWARGS)

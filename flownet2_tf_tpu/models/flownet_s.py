@@ -92,7 +92,14 @@ def apply(params, inputs, training: bool = False, compute_dtype=None):
     cd = compute_dtype
     acts = {}
     for name, _, stride, _ in ENCODER:
-        x = common.conv(params[name], x, stride=stride, compute_dtype=cd)
+        if name == "conv1" and common.S2D_HEADS:
+            # space-to-depth head: exactly equivalent 4x4/1 conv on the
+            # 2x2-folded input — avoids the low-channel full-res conv
+            # (see models/common.py S2D section)
+            x = common.conv7x7s2_s2d(params[name], x, compute_dtype=cd)
+        else:
+            x = common.conv(params[name], x, stride=stride,
+                            compute_dtype=cd)
         acts[name] = x
 
     return decoder(params, acts, (in_h, in_w), compute_dtype=cd)

@@ -82,7 +82,17 @@ def apply(params, inputs, training: bool = False, compute_dtype=None):
     cd = compute_dtype
 
     acts = {}
-    for name, _, stride, _ in ENCODER:
+    encoder = ENCODER
+    if common.S2D_HEADS:
+        # conv0 (full-res 3x3/1) + conv1 (3x3/2) run as one
+        # space-to-depth pair — no full-res 64-channel activation is
+        # materialized (neither is a decoder skip; SKIP starts at
+        # conv1_1). Exactly equivalent: models/common.py S2D section.
+        x = common.conv_pair3x3_s2d(
+            params["conv0"], params["conv1"], x, compute_dtype=cd
+        )
+        encoder = ENCODER[2:]
+    for name, _, stride, _ in encoder:
         x = common.conv(params[name], x, stride=stride, compute_dtype=cd)
         acts[name] = x
 
