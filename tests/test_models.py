@@ -165,3 +165,53 @@ def test_average_endpoint_error_reference_normalization():
     # per-pixel EPE = sqrt(2); 16 pixels; batch 2 -> sum/batch = 16*sqrt(2)
     got = float(common.average_endpoint_error(gt, pred))
     np.testing.assert_allclose(got, 16 * np.sqrt(2), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth head equivalence (models/common.py S2D section)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["s", "c", "sd", "2"])
+def test_s2d_heads_match_plain_path(rng, name, monkeypatch):
+    """The S2D perf transform must be numerically equivalent to the
+    plain convs (same multiply-adds, reassociated): flows agree to
+    fp-reorder level. FlowNet2 is the deep case — stage flows feed warp
+    sampling, so deltas compound through the stack; its x20-scaled
+    full-res flow is still well under the 1e-2 parity budget."""
+    m = get_model(name)
+    p = m.init(jax.random.PRNGKey(3))
+    a = jnp.asarray(rng.rand(1, 128, 192, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(1, 128, 192, 3).astype(np.float32))
+
+    monkeypatch.setattr(common, "S2D_HEADS", True)
+    got = m.apply(p, {"input_a": a, "input_b": b})
+    monkeypatch.setattr(common, "S2D_HEADS", False)
+    want = m.apply(p, {"input_a": a, "input_b": b})
+
+    np.testing.assert_allclose(
+        np.asarray(got["flow"]), np.asarray(want["flow"]),
+        atol=5e-3, rtol=1e-4,
+    )
+
+
+def test_s2d_weight_transform_gradients(rng, monkeypatch):
+    """Training runs THROUGH the trace-time weight rewrites; the
+    gradient w.r.t. the original conv1 weights must match the plain
+    path's (the transform is linear)."""
+    monkeypatch.setattr(common, "S2D_HEADS", True)
+    m = get_model("s")
+    p = m.init(jax.random.PRNGKey(0))
+    a = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+
+    def loss_fn(params):
+        preds = m.apply(params, {"input_a": a, "input_b": b})
+        return jnp.mean(jnp.square(preds["predict_flow2"]))
+
+    g1 = jax.grad(loss_fn)(p)["conv1"]["weights"]
+    monkeypatch.setattr(common, "S2D_HEADS", False)
+    g0 = jax.grad(loss_fn)(p)["conv1"]["weights"]
+    assert g1.shape == g0.shape == (7, 7, 6, 64)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g0), atol=1e-5, rtol=1e-3
+    )
