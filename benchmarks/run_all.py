@@ -57,6 +57,12 @@ def main():
         ).mean(),
         fa, fb,
     )
+    results["ops"]["correlation_mxu_ms"] = marginal_ms(
+        lambda a, b, x: correlation(
+            a + x, b, 1, 20, 1, 2, 20, implementation="mxu"
+        ).mean(),
+        fa, fb,
+    )
     try:
         results["ops"]["correlation_pallas_ms"] = marginal_ms(
             lambda a, b, x: correlation(

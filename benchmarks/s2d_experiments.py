@@ -273,5 +273,69 @@ def main():
     print(f"wrote {out_path}")
 
 
+
+
+def fold_reshape(x):
+    """space_to_depth via reshape+transpose (models/common.py path)."""
+    import jax.numpy as jnp
+
+    n, h, w, c = x.shape
+    y = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def fold_slices(x):
+    """space_to_depth via 4 strided slices + channel concat."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate(
+        [x[:, 0::2, 0::2], x[:, 0::2, 1::2],
+         x[:, 1::2, 0::2], x[:, 1::2, 1::2]], axis=-1
+    )
+
+
+def fold_conv(x):
+    """space_to_depth via a 2x2/2 identity-kernel conv (hardware conv
+    path instead of a strided-transpose copy)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n, h, w, c = x.shape
+    eye = jnp.zeros((2, 2, c, 4 * c), x.dtype)
+    for qy in range(2):
+        for qx in range(2):
+            for ch in range(c):
+                eye = eye.at[qy, qx, ch, (qy * 2 + qx) * c + ch].set(1)
+    return lax.conv_general_dilated(
+        x, eye, (2, 2), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def main_folds():
+    import jax
+    import jax.numpy as jnp
+
+    from flownet2_tf_tpu.tools.benchlib import marginal_ms
+
+    rng = np.random.RandomState(0)
+    for c in (3, 6, 12):
+        x = jnp.asarray(
+            rng.rand(1, 448, 1024, c).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        want = np.asarray(jax.jit(fold_reshape)(x).astype(jnp.float32))
+        for name, fn in (("reshape", fold_reshape),
+                         ("slices", fold_slices), ("conv", fold_conv)):
+            got = np.asarray(jax.jit(fn)(x).astype(jnp.float32))
+            np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+            ms = marginal_ms(lambda a, t, fn=fn: fn(a + t).mean(), x,
+                             n_big=10)
+            print(f"  fold c={c:2d} {name:8s} {ms:7.3f} ms", flush=True)
+
+
 if __name__ == "__main__":
+    if "--folds" in sys.argv:
+        main_folds()
+        raise SystemExit(0)
     main()

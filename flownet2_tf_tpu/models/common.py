@@ -204,8 +204,27 @@ def predict_flow(p, x, compute_dtype=None):
 
 import os as _os
 
-# escape hatch for A/B measurements; models read this at trace time
+# Escape hatches for A/B measurements; models read these at trace time.
+# S2D_HEADS gates the 3x3 head pairs + the FlowNet2 fusion level-0
+# chain (measured win on v5e: FlowNet2 25.3 -> 22.8 ms). The 7x7/2
+# conv1 transform only pays when the input is wide enough to amortize
+# the fold's strided transpose (~1 ms at full res): measured on v5e it
+# LOSES on the 3-6 channel first-stage inputs (S: 1.74 -> 2.80 ms,
+# C: 3.04 -> 4.04) but WINS inside FlowNet2, whose stage-2 conv1 sees
+# the 12-channel warped concat (22.8 vs 23.5 ms) — hence the
+# channel-count gate in use_s2d_head7. FLOWNET2_TPU_S2D7=0/1 forces
+# it off/on everywhere.
 S2D_HEADS = _os.environ.get("FLOWNET2_TPU_S2D", "1") != "0"
+S2D_HEAD7 = _os.environ.get("FLOWNET2_TPU_S2D7", "")
+S2D_HEAD7_MIN_CIN = 12
+
+
+def use_s2d_head7(cin: int) -> bool:
+    if S2D_HEAD7 == "0":
+        return False
+    if S2D_HEAD7 == "1":
+        return True
+    return S2D_HEADS and cin >= S2D_HEAD7_MIN_CIN
 
 
 def space_to_depth(x):

@@ -94,8 +94,9 @@ def apply(params, inputs, training: bool = False, compute_dtype=None):
     x = jnp.concatenate([a, b], axis=0)
     feats_a, feats_b = {}, {}
     for name, _, stride, _ in TOWER:
-        if name == "conv1" and common.S2D_HEADS:
-            # space-to-depth head (models/common.py S2D section)
+        if name == "conv1" and common.use_s2d_head7(x.shape[-1]):
+            # space-to-depth head (3-ch towers take the plain conv:
+            # models/common.py S2D flags)
             x = common.conv7x7s2_s2d(params[name], x, compute_dtype=cd)
         else:
             x = common.conv(params[name], x, stride=stride,

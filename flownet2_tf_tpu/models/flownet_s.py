@@ -92,10 +92,10 @@ def apply(params, inputs, training: bool = False, compute_dtype=None):
     cd = compute_dtype
     acts = {}
     for name, _, stride, _ in ENCODER:
-        if name == "conv1" and common.S2D_HEADS:
+        if name == "conv1" and common.use_s2d_head7(x.shape[-1]):
             # space-to-depth head: exactly equivalent 4x4/1 conv on the
-            # 2x2-folded input — avoids the low-channel full-res conv
-            # (see models/common.py S2D section)
+            # 2x2-folded input. Only taken for wide (stage-2) inputs —
+            # the fold costs ~1 ms at full res (common.py S2D flags).
             x = common.conv7x7s2_s2d(params[name], x, compute_dtype=cd)
         else:
             x = common.conv(params[name], x, stride=stride,

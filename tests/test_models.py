@@ -184,8 +184,10 @@ def test_s2d_heads_match_plain_path(rng, name, monkeypatch):
     b = jnp.asarray(rng.rand(1, 128, 192, 3).astype(np.float32))
 
     monkeypatch.setattr(common, "S2D_HEADS", True)
+    monkeypatch.setattr(common, "S2D_HEAD7", "1")
     got = m.apply(p, {"input_a": a, "input_b": b})
     monkeypatch.setattr(common, "S2D_HEADS", False)
+    monkeypatch.setattr(common, "S2D_HEAD7", "0")
     want = m.apply(p, {"input_a": a, "input_b": b})
 
     np.testing.assert_allclose(
@@ -199,6 +201,7 @@ def test_s2d_weight_transform_gradients(rng, monkeypatch):
     gradient w.r.t. the original conv1 weights must match the plain
     path's (the transform is linear)."""
     monkeypatch.setattr(common, "S2D_HEADS", True)
+    monkeypatch.setattr(common, "S2D_HEAD7", "1")
     m = get_model("s")
     p = m.init(jax.random.PRNGKey(0))
     a = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
@@ -210,6 +213,7 @@ def test_s2d_weight_transform_gradients(rng, monkeypatch):
 
     g1 = jax.grad(loss_fn)(p)["conv1"]["weights"]
     monkeypatch.setattr(common, "S2D_HEADS", False)
+    monkeypatch.setattr(common, "S2D_HEAD7", "0")
     g0 = jax.grad(loss_fn)(p)["conv1"]["weights"]
     assert g1.shape == g0.shape == (7, 7, 6, 64)
     np.testing.assert_allclose(
