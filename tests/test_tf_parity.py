@@ -150,3 +150,90 @@ def test_flownet_s_full_forward_matches_tf():
 def test_flownet_c_full_forward_matches_tf():
     delta = _run_parity("c", _tf_flownet_c)
     print(f"FlowNetC max|flow_jax - flow_tf| = {delta:.2e}")
+
+
+# --- round-2 extensions: SD (all-3x3 + interconvs) and the CS stack -------
+
+def _tf_flow_warp(image, flow):
+    """Border-clamped bilinear backward warp — independent TF
+    implementation of the reference FlowWarp op semantics
+    (reference src/ops/flow_warp/flow_warp.cu.cc)."""
+    n, h, w, c = image.shape
+    gy, gx = tf.meshgrid(tf.range(h, dtype=tf.float32),
+                         tf.range(w, dtype=tf.float32), indexing="ij")
+    x2 = tf.clip_by_value(gx[None] + flow[..., 0], 0.0, float(w - 1))
+    y2 = tf.clip_by_value(gy[None] + flow[..., 1], 0.0, float(h - 1))
+    x0 = tf.floor(x2)
+    y0 = tf.floor(y2)
+    wx = (x2 - x0)[..., None]
+    wy = (y2 - y0)[..., None]
+    x0i = tf.cast(x0, tf.int32)
+    y0i = tf.cast(y0, tf.int32)
+    x1i = tf.minimum(x0i + 1, w - 1)
+    y1i = tf.minimum(y0i + 1, h - 1)
+
+    def tap(yi, xi):
+        return tf.gather_nd(image, tf.stack([yi, xi], axis=-1),
+                            batch_dims=1)
+
+    p00, p01 = tap(y0i, x0i), tap(y0i, x1i)
+    p10, p11 = tap(y1i, x0i), tap(y1i, x1i)
+    return (p00 * (1 - wx) * (1 - wy) + p01 * wx * (1 - wy)
+            + p10 * (1 - wx) * wy + p11 * wx * wy)
+
+
+def _tf_flownet_sd(params, a, b):
+    from flownet2_tf_tpu.models import flownet_sd
+
+    x = tf.concat([a, b], axis=-1)
+    acts = {}
+    for name, k, stride, _ in flownet_sd.ENCODER:
+        x = _tf_conv(params[name], x, k, stride)
+        acts[name] = x
+    flow = _tf_conv(params["predict_flow6"], x, 3, 1, act=False)
+    for lvl in (5, 4, 3, 2):
+        up_feat = _tf_deconv(params[f"deconv{lvl}"], x)
+        up_flow = _tf_deconv(
+            params[f"upsample_flow{lvl + 1}to{lvl}"], flow, act=False
+        )
+        x = tf.concat([acts[flownet_sd.SKIP[lvl]], up_feat, up_flow],
+                      axis=-1)
+        inter = _tf_conv(params[f"interconv{lvl}"], x, 3, 1, act=False)
+        flow = _tf_conv(params[f"predict_flow{lvl}"], inter, 3, 1,
+                        act=False)
+    return tf.compat.v1.image.resize_bilinear(
+        flow * 20.0, a.shape[1:3], align_corners=False
+    )
+
+
+def _tf_flownet_s_from_input(params, x, input_hw):
+    acts = {}
+    for name, k, stride, _ in flownet_s.ENCODER:
+        x = _tf_conv(params[name], x, k, stride)
+        acts[name] = x
+    return _tf_decoder(params, acts, input_hw)
+
+
+def _tf_flownet_cs(params, a, b):
+    """Stage 1 FlowNetC -> warp/brightness-error glue -> stage 2 S.
+
+    Second-stage input order mirrors models/stacks._second_stage_input:
+    [a, b, warped, flow * 0.05, channel_norm(a - warped)] (12 ch)."""
+    flow_c = _tf_flownet_c(params["FlowNetC"], a, b)
+    warped = _tf_flow_warp(b, flow_c)
+    err = tf.sqrt(tf.reduce_sum(tf.square(a - warped), axis=-1,
+                                keepdims=True))
+    x = tf.concat([a, b, warped, flow_c * 0.05, err], axis=-1)
+    return _tf_flownet_s_from_input(params["FlowNetS"], x, a.shape[1:3])
+
+
+@pytest.mark.slow
+def test_flownet_sd_full_forward_matches_tf():
+    delta = _run_parity("sd", _tf_flownet_sd)
+    print(f"FlowNetSD max|flow_jax - flow_tf| = {delta:.2e}")
+
+
+@pytest.mark.slow
+def test_flownet_cs_full_forward_matches_tf():
+    delta = _run_parity("cs", _tf_flownet_cs)
+    print(f"FlowNetCS max|flow_jax - flow_tf| = {delta:.2e}")
