@@ -237,3 +237,73 @@ def test_flownet_sd_full_forward_matches_tf():
 def test_flownet_cs_full_forward_matches_tf():
     delta = _run_parity("cs", _tf_flownet_cs)
     print(f"FlowNetCS max|flow_jax - flow_tf| = {delta:.2e}")
+
+
+def _tf_flownet_css(params, a, b):
+    flow_cs = _tf_flownet_cs(params["FlowNetCS"], a, b)
+    warped = _tf_flow_warp(b, flow_cs)
+    err = tf.sqrt(tf.reduce_sum(tf.square(a - warped), axis=-1,
+                                keepdims=True))
+    x = tf.concat([a, b, warped, flow_cs * 0.05, err], axis=-1)
+    return _tf_flownet_s_from_input(params["FlowNetS"], x, a.shape[1:3])
+
+
+def _tf_flownet2(params, a, b):
+    """Full stack incl. the fusion net — internal-consistency check of
+    models/stacks.apply_flownet2 (the fusion concat order itself is the
+    documented survey caveat in PARITY.md; this verifies our
+    implementation, including the S2D level-0 chain, against the
+    written spec)."""
+    flow_css = _tf_flownet_css(params["FlowNetCSS"], a, b)
+    flow_sd = _tf_flownet_sd(params["FlowNetSD"], a, b)
+
+    def feats(flow):
+        warped = _tf_flow_warp(b, flow)
+        err = tf.sqrt(tf.reduce_sum(tf.square(a - warped), axis=-1,
+                                    keepdims=True))
+        mag = tf.sqrt(tf.reduce_sum(tf.square(flow), axis=-1,
+                                    keepdims=True))
+        return err, mag
+
+    err_css, mag_css = feats(flow_css)
+    err_sd, mag_sd = feats(flow_sd)
+    x = tf.concat(
+        [a, flow_css * 0.05, flow_sd * 0.05, mag_css, mag_sd,
+         err_css, err_sd], axis=-1,
+    )
+
+    from flownet2_tf_tpu.models import stacks
+
+    acts = {}
+    for name, k, stride, _, act in stacks.FUSION:
+        x = _tf_conv(params[name], x, k, stride, act=act)
+        acts[name] = x
+    flow2 = _tf_conv(params["predict_flow2"], x, 3, 1, act=False)
+    up_feat1 = _tf_deconv(params["fuse_deconv1"], x)
+    up_flow1 = _tf_deconv(params["fuse_upsample_flow2to1"], flow2,
+                          act=False)
+    concat1 = tf.concat([acts["fuse_conv1_1"], up_feat1, up_flow1],
+                        axis=-1)
+    inter1 = _tf_conv(params["fuse_interconv1"], concat1, 3, 1, act=False)
+    flow1 = _tf_conv(params["predict_flow1"], inter1, 3, 1, act=False)
+    up_feat0 = _tf_deconv(params["fuse_deconv0"], concat1)
+    up_flow0 = _tf_deconv(params["fuse_upsample_flow1to0"], flow1,
+                          act=False)
+    concat0 = tf.concat([acts["fuse_conv0"], up_feat0, up_flow0], axis=-1)
+    inter0 = _tf_conv(params["fuse_interconv0"], concat0, 3, 1, act=False)
+    flow0 = _tf_conv(params["predict_flow0"], inter0, 3, 1, act=False)
+    return tf.compat.v1.image.resize_bilinear(
+        flow0 * 20.0, a.shape[1:3], align_corners=False
+    )
+
+
+@pytest.mark.slow
+def test_flownet_css_full_forward_matches_tf():
+    delta = _run_parity("css", _tf_flownet_css)
+    print(f"FlowNetCSS max|flow_jax - flow_tf| = {delta:.2e}")
+
+
+@pytest.mark.slow
+def test_flownet2_full_forward_matches_tf():
+    delta = _run_parity("2", _tf_flownet2)
+    print(f"FlowNet2 max|flow_jax - flow_tf| = {delta:.2e}")
