@@ -8,13 +8,16 @@ implementations with identical numerics contracts:
   differentiable through autodiff. The correctness reference.
 * ``mxu`` — correlation only: the batched-einsum + skew-reshape
   formulation that puts the cost-volume contraction on the systolic
-  array (``ops/correlation.py::_correlation_mxu``). Measured ~3x over
-  the oracle at FlowNetC shapes on v5e; the performance path.
-* ``pallas`` — hand-tiled Pallas TPU kernels with custom VJPs. For
-  correlation the Pallas row kernel is VPU-bound and does NOT beat the
-  oracle (measured; see pallas/correlation_kernel.py) — it is kept as
-  the interpret-mode sanitizer and for explicit use. flow_warp has no
-  Pallas variant at all (Mosaic has no vectorized VMEM gather); its
+  array (``ops/correlation.py::_correlation_mxu``). Measured faster
+  than the scan oracle at FlowNetC shapes on v5e across every sweep
+  (1.15-3x; the margin varies run to run — see
+  benchmarks/results.json "ops"); the default performance path.
+* ``pallas`` — hand-tiled Pallas TPU kernels with custom VJPs. The
+  correlation row kernel measures within the same noise band as the
+  mxu path on some sweeps and behind it on others; it is kept as the
+  interpret-mode sanitizer and for explicit use. flow_warp has no
+  Pallas variant at all (Mosaic's only gather is a same-shape
+  take-along-sublanes, which cannot express the warp); its
   'pallas'/'mxu' settings resolve to the packed-gather XLA path.
 
 ``auto`` picks the fastest measured implementation per op: 'mxu' for
