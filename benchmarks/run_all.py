@@ -168,6 +168,19 @@ def main():
     }
     print(f"   {ms:.1f} ms/step, {examples_per_sec:.1f} examples/sec")
 
+    if not args.quick:
+        # stacked-net training: warps (and their scatter-add backward)
+        # inside the step — the case the per-sample gather split serves
+        print("== train step (FlowNetCS, b8 @320x448, bf16)", flush=True)
+        ms, examples_per_sec = train_step_ms(
+            "cs", batch=8, height=320, width=448, iters=6
+        )
+        results["train_step_cs"] = {
+            "model": "cs", "batch": 8, "ms_per_step": ms,
+            "examples_per_sec": examples_per_sec,
+        }
+        print(f"   {ms:.1f} ms/step, {examples_per_sec:.1f} examples/sec")
+
     out_path = os.path.join(os.path.dirname(__file__), "results.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2, default=str)
