@@ -398,8 +398,29 @@ def build_parser():
     return parser
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: repeat CLI invocations skip the
+    multi-minute FlowNet2 compile (works through remote-compile
+    backends too). Override the location with
+    JAX_COMPILATION_CACHE_DIR; set it empty to disable."""
+    import os
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/flownet2_jax_cache"
+    )
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _enable_compilation_cache()
     return args.fn(args)
 
 
