@@ -42,12 +42,18 @@ def run_bench(model="2", height=448, width=1024, batch=1, iters=16,
     import jax
 
     # persistent compilation cache: repeat driver runs skip the ~2 min
-    # FlowNet2 compile (works through the axon remote-compile path too)
+    # FlowNet2 compile (works through the axon remote-compile path too).
+    # Per-user location — see cli.py:_enable_compilation_cache.
     try:
-        cache_dir = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR", "/tmp/flownet2_jax_cache"
+        default = os.path.join(
+            os.environ.get(
+                "XDG_CACHE_HOME", os.path.expanduser("~/.cache")
+            ),
+            "flownet2_tf_tpu", "jax",
         )
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
+        if cache_dir:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
     except Exception:
         pass
     import jax.numpy as jnp

@@ -405,9 +405,16 @@ def _enable_compilation_cache():
     JAX_COMPILATION_CACHE_DIR; set it empty to disable."""
     import os
 
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", "/tmp/flownet2_jax_cache"
+    # default under the user's cache dir — a fixed world-writable /tmp
+    # path would be shared (and plantable) across users on a multi-user
+    # host, and jax deserializes executables from it on cache hits
+    default = os.path.join(
+        os.environ.get(
+            "XDG_CACHE_HOME", os.path.expanduser("~/.cache")
+        ),
+        "flownet2_tf_tpu", "jax",
     )
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
     if not cache_dir:
         return
     try:

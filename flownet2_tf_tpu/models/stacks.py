@@ -190,20 +190,29 @@ def apply_flownet2(params, inputs, training: bool = False,
     flow_css = preds_css["flow"]
     flow_sd = preds_sd["flow"]
 
-    # both branches warp the SAME image by different flows: share one
-    # packed gather table between them (the warp gather is the
-    # profile's top cost). f32 gather tables: see _second_stage_input.
+    # both branches warp the SAME image by different flows: build each
+    # sample's packed gather table ONCE and gather it for both flows
+    # (the warp gather is the profile's top cost). f32 gather tables:
+    # see _second_stage_input.
     n = input_b.shape[0]
     if n == 1:
         warped_pair = flow_warp_multi(
             input_b, jnp.concatenate([flow_css, flow_sd], axis=0)
         )
+        warped_css, warped_sd = jnp.split(warped_pair, 2, axis=0)
     else:
-        warped_pair = flow_warp(
-            jnp.concatenate([input_b, input_b], axis=0),
-            jnp.concatenate([flow_css, flow_sd], axis=0),
-        )
-    warped_css, warped_sd = jnp.split(warped_pair, 2, axis=0)
+        css_parts, sd_parts = [], []
+        for i in range(n):
+            pair = flow_warp_multi(
+                input_b[i : i + 1],
+                jnp.concatenate(
+                    [flow_css[i : i + 1], flow_sd[i : i + 1]], axis=0
+                ),
+            )
+            css_parts.append(pair[0:1])
+            sd_parts.append(pair[1:2])
+        warped_css = jnp.concatenate(css_parts, axis=0)
+        warped_sd = jnp.concatenate(sd_parts, axis=0)
 
     def branch_features(warped, flow):
         err = common.channel_norm(input_a - warped.astype(input_a.dtype))

@@ -80,10 +80,17 @@ def correlation(
         else:
             impl = "oracle"
     if impl == "mxu":
-        return _correlation_mxu(
-            input_a, input_b, kernel_size, max_displacement, stride_1,
-            stride_2, pad,
-        )
+        # explicit 'mxu' (arg or FLOWNET2_TPU_KERNELS) gets the same
+        # support guard as 'auto': the fast path only implements the
+        # FlowNetC configuration family, and silently wrong cost
+        # volumes are worse than the oracle's speed.
+        if _mxu_supported(kernel_size, max_displacement, stride_1,
+                          stride_2, pad):
+            return _correlation_mxu(
+                input_a, input_b, kernel_size, max_displacement, stride_1,
+                stride_2, pad,
+            )
+        impl = "oracle"
     if impl == "pallas":
         from flownet2_tf_tpu.ops.pallas.correlation_kernel import (
             correlation_pallas,

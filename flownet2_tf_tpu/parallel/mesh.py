@@ -59,7 +59,17 @@ def maybe_initialize_distributed(enable: bool = False) -> bool:
             "under a managed TPU-pod/SLURM/MPI environment that JAX "
             "auto-detects)"
         )
-    jax.distributed.initialize()
+    if manual:
+        # jax.distributed.initialize() does NOT read these env names
+        # (its auto-detection only covers the managed cluster plugins),
+        # so the manual path must pass them as arguments.
+        jax.distributed.initialize(
+            coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["NUM_PROCESSES"]),
+            process_id=int(os.environ["PROCESS_ID"]),
+        )
+    else:
+        jax.distributed.initialize()
     return True
 
 

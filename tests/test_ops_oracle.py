@@ -256,3 +256,23 @@ def test_resize_bilinear_upsample_x2_exact_corners(rng):
     got = np.asarray(resize_bilinear_tf1(x, 8, 8))
     # TF1 convention: out[2i, 2j] == in[i, j] exactly
     np.testing.assert_allclose(got[0, ::2, ::2, 0], x[0, :, :, 0], atol=1e-6)
+
+
+def test_correlation_explicit_mxu_guards_unsupported_configs(rng):
+    """Explicit implementation='mxu' must fall back to the oracle for
+    configs outside the MXU fast path's family instead of silently
+    computing a wrong cost volume (kernel_size/stride_1/pad ignored)."""
+    from flownet2_tf_tpu.ops.correlation import correlation
+
+    a = jnp.asarray(rng.randn(1, 16, 20, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(1, 16, 20, 8).astype(np.float32))
+    # kernel_size=3 is outside the mxu family
+    want = correlation(a, b, 3, 4, 1, 2, 4, implementation="oracle")
+    got = correlation(a, b, 3, 4, 1, 2, 4, implementation="mxu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # d % stride_2 != 0 is outside the family too
+    want = correlation(a, b, 1, 5, 1, 2, 5, implementation="oracle")
+    got = correlation(a, b, 1, 5, 1, 2, 5, implementation="mxu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

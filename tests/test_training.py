@@ -70,10 +70,16 @@ def test_multihost_hook_guarded(monkeypatch):
     called = {}
     monkeypatch.setattr(
         jax.distributed, "initialize",
-        lambda *a, **kw: called.setdefault("yes", True),
+        lambda *a, **kw: called.update(kw),
     )
     assert mesh_lib.maybe_initialize_distributed(True) is True
-    assert called == {"yes": True}
+    # manual bring-up MUST pass the env values as arguments:
+    # jax.distributed.initialize() never reads these env names itself
+    assert called == {
+        "coordinator_address": "localhost:1234",
+        "num_processes": 2,
+        "process_id": 0,
+    }
 
 
 def _small_cfg(tmp_path, name, **overrides):
