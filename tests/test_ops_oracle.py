@@ -276,3 +276,21 @@ def test_correlation_explicit_mxu_guards_unsupported_configs(rng):
     got = correlation(a, b, 1, 5, 1, 2, 5, implementation="mxu")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_flow_warp_multi_matches_flow_warp(rng):
+    """flow_warp_multi (one shared packed table, M flows over one image)
+    must equal M independent flow_warp calls exactly."""
+    from flownet2_tf_tpu.ops.flow_warp import flow_warp, flow_warp_multi
+
+    img = jnp.asarray(rng.rand(1, 24, 32, 3).astype(np.float32))
+    flows = jnp.asarray(
+        (rng.rand(3, 24, 32, 2).astype(np.float32) - 0.5) * 12
+    )
+    multi = np.asarray(flow_warp_multi(img, flows))
+    for j in range(3):
+        single = np.asarray(flow_warp(img, flows[j : j + 1]))
+        np.testing.assert_array_equal(multi[j : j + 1], single)
+
+    with pytest.raises(ValueError):
+        flow_warp_multi(jnp.zeros((2, 24, 32, 3)), flows)  # batch != 1
