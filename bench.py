@@ -37,25 +37,12 @@ def _timed_scan_call(fn, n):
 def run_bench(model="2", height=448, width=1024, batch=1, iters=16,
               compute_dtype="bfloat16", repeats=2):
     import functools
-    import os
 
     import jax
 
-    # persistent compilation cache: repeat driver runs skip the ~2 min
-    # FlowNet2 compile (works through the axon remote-compile path too).
-    # Per-user location — see cli.py:_enable_compilation_cache.
-    try:
-        default = os.path.join(
-            os.environ.get(
-                "XDG_CACHE_HOME", os.path.expanduser("~/.cache")
-            ),
-            "flownet2_tf_tpu", "jax",
-        )
-        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
-        if cache_dir:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-    except Exception:
-        pass
+    from flownet2_tf_tpu.tools.benchlib import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     from jax import lax
 

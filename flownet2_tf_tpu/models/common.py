@@ -219,7 +219,27 @@ S2D_HEAD7 = _os.environ.get("FLOWNET2_TPU_S2D7", "")
 S2D_HEAD7_MIN_CIN = 12
 
 
+def s2d_heads() -> bool:
+    """Whether the 3x3 head pairs / fusion level-0 chain fold to S2D.
+
+    Reads the thread-local override from ``ops.dispatch.use_s2d`` first,
+    then the module-global env default — models must call this at trace
+    time instead of reading ``S2D_HEADS`` directly so two
+    configurations can coexist in one process (ADVICE r2)."""
+    from flownet2_tf_tpu.ops import dispatch
+
+    override = dispatch.get_s2d_override()
+    if override is not None:
+        return bool(override)
+    return S2D_HEADS
+
+
 def use_s2d_head7(cin: int) -> bool:
+    from flownet2_tf_tpu.ops import dispatch
+
+    override = dispatch.get_s2d_override()
+    if override is not None:
+        return bool(override) and cin >= S2D_HEAD7_MIN_CIN
     if S2D_HEAD7 == "0":
         return False
     if S2D_HEAD7 == "1":

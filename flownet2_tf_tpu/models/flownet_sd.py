@@ -83,7 +83,7 @@ def apply(params, inputs, training: bool = False, compute_dtype=None):
 
     acts = {}
     encoder = ENCODER
-    if common.S2D_HEADS:
+    if common.s2d_heads():
         # conv0 (full-res 3x3/1) + conv1 (3x3/2) run as one
         # space-to-depth pair — no full-res 64-channel activation is
         # materialized (neither is a decoder skip; SKIP starts at

@@ -239,7 +239,7 @@ def apply_flownet2(params, inputs, training: bool = False,
     acts = {}
     fuse_conv0_s2d = None
     fusion = FUSION
-    if common.S2D_HEADS:
+    if common.s2d_heads():
         # fuse_conv0 (full-res 3x3/1, 11ch in) + fuse_conv1 (3x3/2) run
         # as one space-to-depth pair; conv0's activation is kept in S2D
         # form for the level-0 skip below. Exactly equivalent

@@ -65,6 +65,30 @@ def use_implementation(impl: str):
         _state.impl = prev
 
 
+def get_s2d_override():
+    """Thread-local override for the S2D head transform: None (use the
+    env-var defaults in ``models.common``), True, or False.
+
+    ADVICE r2: the S2D gates were module globals read at trace time, so
+    two configurations could not coexist in one process. A/B harnesses
+    and tests should prefer :func:`use_s2d` over monkeypatching the
+    ``models.common`` globals.
+    """
+    return getattr(_state, "s2d", None)
+
+
+@contextlib.contextmanager
+def use_s2d(enabled):
+    """Force the S2D head transform on/off (or None = defaults) for
+    model traces on this thread."""
+    prev = getattr(_state, "s2d", None)
+    _state.s2d = enabled
+    try:
+        yield
+    finally:
+        _state.s2d = prev
+
+
 def backend_is_tpu() -> bool:
     import jax
 

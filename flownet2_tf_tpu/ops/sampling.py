@@ -36,6 +36,16 @@ clamped coordinate yields wx/wy in {0, 1} at the borders.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
+
+# Above this many samples the per-sample split rolls into one
+# ``lax.map`` body instead of a Python unroll: augmentation-path batch
+# sizes (B=64) would otherwise inherit N unrolled gather subgraphs and
+# linearly growing trace/compile time (ADVICE r2). Each mapped gather
+# still sees a single-sample operand, so the emitter stays in its fast
+# regime; the in-model warp batches (n<=4, where the unroll was
+# measured) are unaffected.
+_UNROLL_MAX_SAMPLES = 8
 
 
 def _pack_table(image, gather_dtype=None):
@@ -98,6 +108,13 @@ def bilinear_gather(image, x2, y2, gather_dtype=None):
     n, h, w, c = image.shape
     x2 = jnp.clip(x2, 0.0, w - 1)
     y2 = jnp.clip(y2, 0.0, h - 1)
+    if n > _UNROLL_MAX_SAMPLES:
+        def one(args):
+            img_i, x_i, y_i = args
+            flat = _pack_table(img_i[None], gather_dtype)
+            return _gather_lerp(flat, x_i[None], y_i[None], w, c)[0]
+
+        return lax.map(one, (image, x2, y2))
     outs = []
     for i in range(n):
         flat = _pack_table(image[i : i + 1], gather_dtype)

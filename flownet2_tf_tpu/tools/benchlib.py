@@ -66,9 +66,44 @@ def marginal_ms(fn, *args, n_small=2, n_big=12, repeats=2):
 
     ms = measure(n_small, n_big, repeats)
     if ms < NOISE_FLOOR_MS:
-        # sub-noise op: amortize over a much longer scan before trusting it
+        # sub-noise op: amortize over a much longer scan before trusting
+        # it. The 16x scan divides the differencing jitter by 16, so the
+        # retried value is resolvable only down to NOISE_FLOOR_MS/16 —
+        # anything below that effective floor is still noise and is
+        # clamped to 0.0 rather than published as a time (ADVICE r2).
         ms = measure(n_small, n_small + 16 * (n_big - n_small), repeats)
+        if ms < NOISE_FLOOR_MS / 16.0:
+            ms = 0.0
     return max(ms, 0.0)
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: repeat invocations skip the
+    multi-minute FlowNet2 compile (works through remote-compile
+    backends too). Override the location with
+    JAX_COMPILATION_CACHE_DIR; set it empty to disable.
+
+    Shared by ``cli.py`` and ``bench.py`` (ADVICE r2: the two copies
+    had started to drift).
+    """
+    import os
+
+    # default under the user's cache dir — a fixed world-writable /tmp
+    # path would be shared (and plantable) across users on a multi-user
+    # host, and jax deserializes executables from it on cache hits
+    default = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "flownet2_tf_tpu", "jax",
+    )
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", default)
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
 
 
 # v5e (TPU v5 lite) headline peaks; MFU/roofline accounting keys off

@@ -219,3 +219,32 @@ def test_s2d_weight_transform_gradients(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g1), np.asarray(g0), atol=1e-5, rtol=1e-3
     )
+
+
+def test_s2d_dispatch_override(rng):
+    """ops.dispatch.use_s2d is the supported way to force the S2D path
+    on/off without monkeypatching module globals (ADVICE r2); both
+    settings must produce the same flow within the S2D equivalence
+    budget, and the override must beat the env defaults."""
+    from flownet2_tf_tpu.ops import dispatch
+
+    m = get_model("s")
+    p = m.init(jax.random.PRNGKey(3))
+    a = jnp.asarray(rng.rand(1, 128, 192, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(1, 128, 192, 3).astype(np.float32))
+
+    with dispatch.use_s2d(True):
+        assert common.s2d_heads() is True
+        assert common.use_s2d_head7(14) is True
+        assert common.use_s2d_head7(6) is False  # below MIN_CIN
+        got = m.apply(p, {"input_a": a, "input_b": b})
+    with dispatch.use_s2d(False):
+        assert common.s2d_heads() is False
+        assert common.use_s2d_head7(14) is False
+        want = m.apply(p, {"input_a": a, "input_b": b})
+    assert dispatch.get_s2d_override() is None
+
+    np.testing.assert_allclose(
+        np.asarray(got["flow"]), np.asarray(want["flow"]),
+        atol=5e-3, rtol=1e-4,
+    )

@@ -294,3 +294,34 @@ def test_flow_warp_multi_matches_flow_warp(rng):
 
     with pytest.raises(ValueError):
         flow_warp_multi(jnp.zeros((2, 24, 32, 3)), flows)  # batch != 1
+
+
+def test_bilinear_gather_large_batch_lax_map_path(rng):
+    """Batches above _UNROLL_MAX_SAMPLES take the lax.map body (bounded
+    HLO for augmentation-path batch sizes, ADVICE r2); the mapped path
+    must match the unrolled per-sample path exactly."""
+    from flownet2_tf_tpu.ops import sampling
+
+    n = sampling._UNROLL_MAX_SAMPLES + 3
+    img = jnp.asarray(rng.rand(n, 12, 16, 3).astype(np.float32))
+    x2 = jnp.asarray(rng.rand(n, 12, 16).astype(np.float32) * 15)
+    y2 = jnp.asarray(rng.rand(n, 12, 16).astype(np.float32) * 11)
+
+    mapped = np.asarray(sampling.bilinear_gather(img, x2, y2))
+    per_sample = np.concatenate([
+        np.asarray(
+            sampling.bilinear_gather(
+                img[i : i + 1], x2[i : i + 1], y2[i : i + 1]
+            )
+        )
+        for i in range(n)
+    ])
+    # different compiled programs may reassociate the lerp by 1 ULP
+    np.testing.assert_allclose(mapped, per_sample, rtol=0, atol=1e-6)
+
+    # and it must stay differentiable (augmentation backprops through it)
+    def f(im):
+        return sampling.bilinear_gather(im, x2, y2).sum()
+
+    g = jax.grad(f)(img)
+    assert np.all(np.isfinite(np.asarray(g)))
