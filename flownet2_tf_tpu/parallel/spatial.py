@@ -79,6 +79,16 @@ def infer_flow_spatial(model_name, params, image_a, image_b,
         n_tiles = int(mesh.devices.size)
     a = jnp.asarray(image_a, jnp.float32)[None]
     b = jnp.asarray(image_b, jnp.float32)[None]
+    if a.shape[2] % 64 != 0:
+        # bands are H-tiled; W passes through the encoder untiled, and
+        # the 6 stride-2 stages require %64 (the reference's implicit
+        # constraint, SURVEY.md §5). Fail loudly rather than inside a
+        # conv shape error deep in the jit trace (VERDICT r2 weak #3).
+        raise ValueError(
+            f"infer_flow_spatial requires W % 64 == 0, got W="
+            f"{a.shape[2]}; edge-pad with training.infer.pad_to_multiple"
+            " and crop the flow back"
+        )
     tiles_a, core, h = extract_tiles(a, n_tiles, overlap)
     tiles_b, _, _ = extract_tiles(b, n_tiles, overlap)
 

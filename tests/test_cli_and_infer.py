@@ -371,3 +371,27 @@ def test_warm_start_spec_parsing():
         parse_warm_start_spec("./logs/flownet_c:FlowNetC")
     with pytest.raises(SystemExit, match="PATH:SRC_SCOPE:DST_SCOPE"):
         parse_warm_start_spec("::FlowNetC")
+
+
+def test_convert_semantic_canary(tmp_path):
+    """The post-conversion canary (VERDICT r2 missing #1) passes sane
+    weights and rejects scaled-to-garbage weights that would load
+    cleanly by name/shape."""
+    from flownet2_tf_tpu.models.registry import get_model
+    from flownet2_tf_tpu.tools.convert_tf1_checkpoint import semantic_canary
+    from flownet2_tf_tpu.training import warmstart
+
+    samples = os.path.join(os.path.dirname(__file__), "..", "data",
+                           "samples")
+    params = jax.device_get(get_model("s").init(jax.random.PRNGKey(0)))
+    flat = warmstart.flatten(params)
+    ok = tmp_path / "ok.npz"
+    np.savez(ok, **flat)
+    result = semantic_canary(str(ok), "s", sample_dir=samples)
+    assert np.isfinite(result["mean_mag"])
+    assert result["epe_vs_sample_gt"] is not None
+
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, **{k: v * 1e4 for k, v in flat.items()})
+    with pytest.raises(ValueError, match="semantic canary FAILED"):
+        semantic_canary(str(bad), "s", sample_dir=samples)
