@@ -152,10 +152,17 @@ class TFRecordFlowDataset:
     (``fetch_batch``); otherwise the pure-Python codec is used.
     """
 
-    def __init__(self, path, height, width, use_native: bool = True):
+    def __init__(self, path, height, width, use_native: bool = True,
+                 raw_uint8: bool = False):
         self.path = os.fspath(path)
         self.height = int(height)
         self.width = int(width)
+        # raw_uint8: keep images uint8 on the host (the [0,1] float
+        # conversion runs on device inside the jitted step). Cuts host
+        # decode work ~3x and host->device image bytes 4x — required to
+        # feed the device from a low-core host (benchmarks/
+        # input_pipeline.py).
+        self.raw_uint8 = bool(raw_uint8)
         self._offsets = None
         self._native = None
         self._native_handle = None
@@ -175,7 +182,7 @@ class TFRecordFlowDataset:
         if self._native_handle is not None:
             return self._native.decode_batch(
                 self._native_handle, list(idxs), self.height, self.width,
-                n_threads=num_workers,
+                n_threads=num_workers, raw_uint8=self.raw_uint8,
             )
         items = [self[int(i)] for i in idxs]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
@@ -219,18 +226,18 @@ class TFRecordFlowDataset:
             payload = f.read(length)
         feats = tfrecord.parse_example(payload)
         h, w = self.height, self.width
-        image_a = (
-            np.frombuffer(feats["image_a"][0], np.uint8)
-            .reshape(h, w, 3)
-            .astype(np.float32)
-            / 255.0
+        image_a = np.frombuffer(feats["image_a"][0], np.uint8).reshape(
+            h, w, 3
         )
-        image_b = (
-            np.frombuffer(feats["image_b"][0], np.uint8)
-            .reshape(h, w, 3)
-            .astype(np.float32)
-            / 255.0
+        image_b = np.frombuffer(feats["image_b"][0], np.uint8).reshape(
+            h, w, 3
         )
+        if self.raw_uint8:
+            image_a = image_a.copy()
+            image_b = image_b.copy()
+        else:
+            image_a = image_a.astype(np.float32) / 255.0
+            image_b = image_b.astype(np.float32) / 255.0
         flow = np.frombuffer(feats["flow"][0], np.float32).reshape(h, w, 2)
         return {"image_a": image_a, "image_b": image_b, "flow": flow.copy()}
 
@@ -473,6 +480,9 @@ class BatchLoader:
                 yield batch
         finally:
             stop.set()
+            # synchronous shutdown: a producer mid-fetch must not
+            # outlive the caller (it would race file/tempdir teardown)
+            thread.join(timeout=5.0)
 
 
 def _parallel_fetch(dataset, idxs: Sequence[int], num_workers: int):
@@ -537,10 +547,14 @@ def load_batch(dataset_config, split="train", dataset=None):
     if dataset is None:
         path = dataset_config.get("PATHS", {}).get(split)
         if path and os.path.exists(path):
+            # images stay uint8 on the host; the trainer/eval jitted fns
+            # convert on device (loss and numerics identical: u8/255.0
+            # in f32 both ways)
             dataset = TFRecordFlowDataset(
                 path,
                 dataset_config["IMAGE_HEIGHT"],
                 dataset_config["IMAGE_WIDTH"],
+                raw_uint8=True,
             )
         else:
             raw_root = dataset_config.get("RAW_ROOT")

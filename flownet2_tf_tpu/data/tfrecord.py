@@ -41,12 +41,25 @@ def _crc_table():
     return _CRC_TABLE
 
 
-def crc32c(data: bytes) -> int:
+def crc32c_py(data: bytes) -> int:
+    """Pure-Python CRC32C — the parity oracle for the native one (and
+    the fallback when the native library isn't built). A Python byte
+    loop runs ~1 MB/s, so the large-payload paths must go through
+    :func:`crc32c`, which delegates to the native SSE4.2 implementation
+    when available."""
     table = _crc_table()
     crc = 0xFFFFFFFF
     for b in data:
         crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
+
+
+def crc32c(data: bytes) -> int:
+    from flownet2_tf_tpu.runtime import native
+
+    if native.native_available():
+        return native.get_native_io().crc32c(data)
+    return crc32c_py(data)
 
 
 def _masked_crc(data: bytes) -> int:

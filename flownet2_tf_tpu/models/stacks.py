@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from flownet2_tf_tpu.models import common, flownet_c, flownet_s, flownet_sd
 from flownet2_tf_tpu.models.base import FLOW_SCALE, multiscale_loss
-from flownet2_tf_tpu.ops.flow_warp import flow_warp, flow_warp_multi
+from flownet2_tf_tpu.ops.flow_warp import stack_warp, stack_warp_multi
 from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
 
 
@@ -42,7 +42,9 @@ def _second_stage_input(input_a, input_b, flow, compute_dtype=None):
     # IN-MODEL (29.4 vs 24.7 ms end-to-end) — the f32->bf16 relayout
     # XLA inserts around the packed-table build costs more than the
     # halved gather traffic saves. See ops/sampling.py gather_dtype.
-    warped = flow_warp(input_b, flow)
+    # stack_warp: full-res by default; the flag-gated half-res variant
+    # cuts the issue-rate-bound gather 4x (ops/flow_warp.py).
+    warped = stack_warp(input_b, flow)
     brightness_error = common.channel_norm(
         input_a - warped.astype(input_a.dtype)
     )
@@ -196,14 +198,14 @@ def apply_flownet2(params, inputs, training: bool = False,
     # see _second_stage_input.
     n = input_b.shape[0]
     if n == 1:
-        warped_pair = flow_warp_multi(
+        warped_pair = stack_warp_multi(
             input_b, jnp.concatenate([flow_css, flow_sd], axis=0)
         )
         warped_css, warped_sd = jnp.split(warped_pair, 2, axis=0)
     else:
         css_parts, sd_parts = [], []
         for i in range(n):
-            pair = flow_warp_multi(
+            pair = stack_warp_multi(
                 input_b[i : i + 1],
                 jnp.concatenate(
                     [flow_css[i : i + 1], flow_sd[i : i + 1]], axis=0

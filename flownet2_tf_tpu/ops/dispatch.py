@@ -89,6 +89,25 @@ def use_s2d(enabled):
         _state.s2d = prev
 
 
+def get_half_res_warp():
+    """Thread-local override for half-resolution warping: None (use the
+    ``FLOWNET2_TPU_HALF_RES_WARP`` env default in ``ops.flow_warp``),
+    True, or False."""
+    return getattr(_state, "half_res_warp", None)
+
+
+@contextlib.contextmanager
+def use_half_res_warp(enabled):
+    """Force half-resolution stack warps on/off (or None = default) for
+    model traces on this thread. See ops/flow_warp.py::flow_warp_half."""
+    prev = getattr(_state, "half_res_warp", None)
+    _state.half_res_warp = enabled
+    try:
+        yield
+    finally:
+        _state.half_res_warp = prev
+
+
 def backend_is_tpu() -> bool:
     import jax
 

@@ -93,6 +93,90 @@ def _flow_warp_multi_impl(image, flows, border, gather_dtype=None):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Half-resolution warping (approximate, flag-gated)
+# ---------------------------------------------------------------------------
+
+def half_res_warp_enabled() -> bool:
+    """Whether the STACK warps (CS/CSS second-stage input, FlowNet2
+    fusion branch warps) run at half resolution.
+
+    The full-res warp gather is issue-rate-bound inside XLA's gather
+    emitter (~4.5 ns per gathered record regardless of record width —
+    docs/DESIGN.md roofline), so halving the coordinate grid cuts the
+    cost ~4x. The warped image is then bilinearly upsampled back to
+    full resolution. This is an APPROXIMATION: the warped image loses
+    high frequencies (the stage flows themselves are upsampled
+    quarter-res fields, so the flow input is less affected). Off by
+    default; enable with FLOWNET2_TPU_HALF_RES_WARP=1 or
+    ``dispatch.use_half_res_warp(True)`` after checking the measured
+    AEE deltas in docs/DESIGN.md.
+    """
+    import os
+
+    override = dispatch.get_half_res_warp()
+    if override is not None:
+        return bool(override)
+    return os.environ.get("FLOWNET2_TPU_HALF_RES_WARP", "0") == "1"
+
+
+def _pool2(x):
+    """Exact 2x2 area downsample (H, W even — guaranteed by the %64
+    input contract)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.mean(axis=(2, 4))
+
+
+def flow_warp_half(image, flow, border: str = "clamp", gather_dtype=None):
+    """``flow_warp`` computed on a 2x2-pooled image with halved flow
+    coordinates, bilinearly upsampled back to (H, W). ~4x fewer gather
+    records; numerics differ from the full-res warp (see
+    half_res_warp_enabled)."""
+    from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
+
+    n, h, w, c = image.shape
+    image_h = _pool2(image)
+    # flow scaled into half-res pixels, MINUS the 0.25-px grid offset:
+    # pooled pixel k sits at full-res 2k+0.5 while the TF1 upsample
+    # (corner-aligned out_x/2 mapping) reads half-res position x/2 for
+    # output x — composing the two without compensation shifts the
+    # result by exactly +0.5 full-res px (verified by the smooth-content
+    # unit test, which catches the shift as a first-order error).
+    flow_h = _pool2(flow) * 0.5 - 0.25
+    warped_h = _flow_warp_oracle(image_h, flow_h, border, gather_dtype)
+    return resize_bilinear_tf1(warped_h, h, w)
+
+
+def flow_warp_multi_half(image, flows, border: str = "clamp",
+                         gather_dtype=None):
+    """Half-resolution variant of :func:`flow_warp_multi`."""
+    from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
+
+    n, h, w, c = image.shape
+    image_h = _pool2(image)
+    flows_h = _pool2(flows) * 0.5 - 0.25  # grid offset: see flow_warp_half
+    warped_h = _flow_warp_multi_impl(image_h, flows_h, border, gather_dtype)
+    return resize_bilinear_tf1(warped_h, h, w)
+
+
+def stack_warp(image, flow, border: str = "clamp", gather_dtype=None):
+    """The warp used at STACK boundaries (second-stage inputs, fusion
+    branches): full-res flow_warp, or the half-res approximation when
+    enabled."""
+    if half_res_warp_enabled():
+        return flow_warp_half(image, flow, border, gather_dtype)
+    return flow_warp(image, flow, border, gather_dtype=gather_dtype)
+
+
+def stack_warp_multi(image, flows, border: str = "clamp",
+                     gather_dtype=None):
+    """Multi-flow stack warp (FlowNet2 fusion double warp)."""
+    if half_res_warp_enabled():
+        return flow_warp_multi_half(image, flows, border, gather_dtype)
+    return flow_warp_multi(image, flows, border, gather_dtype=gather_dtype)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _flow_warp_oracle(image, flow, border, gather_dtype=None):
     n, h, w, c = image.shape

@@ -117,3 +117,107 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree
     )
+
+
+class DevicePrefetcher:
+    """Stages host batches onto the device from a background thread.
+
+    ``jax.device_put`` of a training batch BLOCKS the calling thread
+    until the transfer lands (measured on the remote-attached v5e: 11.4
+    ms for a 16 MB b8 batch, dispatch == completion — there is no async
+    window to hide it in). Issued from the training thread it therefore
+    serializes with the step; issued from this worker thread, batch
+    k+1's transfer overlaps step k's device execution. This is the
+    device-side half of the reference's queue-runner input pipeline
+    (SURVEY §2.1 data-loader row): host decode threads (BatchLoader)
+    feed this stage, this stage feeds the jitted step.
+
+    Yields ``(host_batch, device_batch)`` pairs. Exceptions in the
+    source iterator or the transfer propagate to the consumer. Call
+    :meth:`close` (or exhaust it) to stop the worker.
+
+    ``threaded=False`` keeps the interface but stages each batch
+    inline on the consumer's thread — required through the axon relay,
+    where concurrent RPCs from two threads head-of-line-block each
+    other on the single tunneled connection (measured 3x slower than
+    inline staging; ``TrainConfig.device_prefetch`` picks per
+    environment).
+    """
+
+    _DONE = object()
+
+    def __init__(self, batches, mesh: Mesh, depth: int = 2,
+                 threaded: bool = True):
+        import queue
+        import threading
+
+        self._src = batches
+        self._mesh = mesh
+        self._threaded = bool(threaded)
+        if not self._threaded:
+            self._it = iter(batches)
+            self._thread = None
+            return
+        self._q = queue.Queue(maxsize=max(1, int(depth)))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name="device-prefetch", daemon=True
+        )
+        self._thread.start()
+
+    def _run(self):
+        import queue
+
+        def put(item):
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        try:
+            for host_batch in self._src:
+                if self._stop.is_set():
+                    return
+                device_batch = shard_batch(self._mesh, host_batch)
+                if not put((host_batch, device_batch)):
+                    return
+            put((self._DONE, None))
+        except BaseException as e:  # forwarded to the consumer
+            put((e, None))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import queue
+
+        if not self._threaded:
+            host_batch = next(self._it)
+            return host_batch, shard_batch(self._mesh, host_batch)
+        while True:
+            try:
+                item, device_batch = self._q.get(timeout=0.2)
+                break
+            except queue.Empty:
+                if not self._thread.is_alive() and self._q.empty():
+                    raise StopIteration
+        if item is self._DONE:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item, device_batch
+
+    def close(self):
+        if self._threaded:
+            self._stop.set()
+        close = getattr(self._src, "close", None)
+        if close is not None:
+            try:
+                close()
+            except Exception:
+                pass
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)

@@ -80,6 +80,12 @@ class NativeIO:
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
+        lib.fnio_decode_batch_u8.restype = ctypes.c_int
+        lib.fnio_decode_batch_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
 
     # -- scalar helpers ------------------------------------------------------
 
@@ -149,13 +155,23 @@ class NativeIO:
     def tfrecord_close(self, handle) -> None:
         self._lib.fnio_tfrecord_close(handle)
 
-    def decode_batch(self, handle, indices, height, width, n_threads=4):
+    def decode_batch(self, handle, indices, height, width, n_threads=4,
+                     raw_uint8=False):
+        """Decode a batch of records. ``raw_uint8`` keeps the images
+        uint8 (the [0,1] float conversion then happens on device inside
+        the jitted step) — the host fast path on low-core hosts."""
         indices = np.ascontiguousarray(indices, np.int64)
         n = len(indices)
-        image_a = np.empty((n, height, width, 3), np.float32)
-        image_b = np.empty((n, height, width, 3), np.float32)
+        # more threads than cores only thrash (measured: 4 threads on
+        # this 1-core host ran 2x slower than numpy single-threaded)
+        n_threads = max(1, min(int(n_threads), os.cpu_count() or 1))
+        img_dtype = np.uint8 if raw_uint8 else np.float32
+        fn = (self._lib.fnio_decode_batch_u8 if raw_uint8
+              else self._lib.fnio_decode_batch)
+        image_a = np.empty((n, height, width, 3), img_dtype)
+        image_b = np.empty((n, height, width, 3), img_dtype)
         flow = np.empty((n, height, width, 2), np.float32)
-        rc = self._lib.fnio_decode_batch(
+        rc = fn(
             handle,
             indices.ctypes.data_as(ctypes.c_void_p),
             n,

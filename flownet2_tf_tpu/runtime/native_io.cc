@@ -48,9 +48,40 @@ static void crc_init() {
   }
 }
 
+// Hardware path: x86 SSE4.2 crc32 computes exactly the Castagnoli
+// polynomial TFRecords use, ~8 B/cycle vs ~1 B per 3 cycles for the
+// byte table. On the 1-core bench host the table CRC alone cost more
+// than the rest of decode combined (benchmarks/input_pipeline.py), so
+// this is the difference between the native path feeding the device
+// and starving it.
+#if defined(__x86_64__) || defined(__i386__)
+#include <nmmintrin.h>
+__attribute__((target("sse4.2")))
+static uint32_t crc32c_hw(uint32_t crc, const uint8_t* data, int64_t len) {
+  const uint8_t* p = data;
+  while (len >= 8) {
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    crc = (uint32_t)_mm_crc32_u64(crc, v);
+    p += 8;
+    len -= 8;
+  }
+  while (len-- > 0) crc = _mm_crc32_u8(crc, *p++);
+  return crc;
+}
+static bool have_sse42() {
+  static const bool ok = __builtin_cpu_supports("sse4.2");
+  return ok;
+}
+#else
+static uint32_t crc32c_hw(uint32_t, const uint8_t*, int64_t) { return 0; }
+static bool have_sse42() { return false; }
+#endif
+
 uint32_t fnio_crc32c(const uint8_t* data, int64_t len) {
-  crc_init();
   uint32_t crc = 0xFFFFFFFFu;
+  if (have_sse42()) return crc32c_hw(crc, data, len) ^ 0xFFFFFFFFu;
+  crc_init();
   for (int64_t i = 0; i < len; ++i)
     crc = g_crc_table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
   return crc ^ 0xFFFFFFFFu;
@@ -107,22 +138,28 @@ int64_t fnio_tfrecord_size(void* handle, int64_t i) {
   return idx->sizes[i];
 }
 
-// Read raw payload i into buf (caller sized via fnio_tfrecord_size) and
-// verify the record's masked payload CRC32C (guards against torn/corrupt
-// files that passed the length-CRC check at open time).
+// Read raw payload i from an already-open stream and verify the
+// record's masked payload CRC32C (guards against torn/corrupt files
+// that passed the length-CRC check at open time).
+static int tfrecord_read_f(TfRecordIndex* idx, FILE* f, int64_t i,
+                           uint8_t* buf) {
+  if (!idx || i < 0 || i >= (int64_t)idx->offsets.size()) return -1;
+  uint32_t stored_crc = 0;
+  if (std::fseek(f, idx->offsets[i], SEEK_SET) != 0 ||
+      std::fread(buf, 1, (size_t)idx->sizes[i], f) != (size_t)idx->sizes[i] ||
+      std::fread(&stored_crc, 4, 1, f) != 1)
+    return -3;
+  if (masked_crc(buf, idx->sizes[i]) != stored_crc)
+    return -4;  // payload corruption
+  return 0;
+}
+
 int fnio_tfrecord_read(void* handle, int64_t i, uint8_t* buf) {
   auto* idx = (TfRecordIndex*)handle;
   if (!idx || i < 0 || i >= (int64_t)idx->offsets.size()) return -1;
   FILE* f = std::fopen(idx->path.c_str(), "rb");
   if (!f) return -2;
-  int rc = 0;
-  uint32_t stored_crc = 0;
-  if (std::fseek(f, idx->offsets[i], SEEK_SET) != 0 ||
-      std::fread(buf, 1, (size_t)idx->sizes[i], f) != (size_t)idx->sizes[i] ||
-      std::fread(&stored_crc, 4, 1, f) != 1)
-    rc = -3;
-  else if (masked_crc(buf, idx->sizes[i]) != stored_crc)
-    rc = -4;  // payload corruption
+  int rc = tfrecord_read_f(idx, f, i, buf);
   std::fclose(f);
   return rc;
 }
@@ -359,27 +396,29 @@ int fnio_decode_batch(void* handle, const int64_t* indices, int n,
   auto worker = [&]() {
     std::vector<uint8_t> payload;
     const char names[] = "image_a\0image_b\0flow";  // NUL-separated
+    FILE* f = std::fopen(idx->path.c_str(), "rb");  // one open per worker
+    if (!f) { status = -3; return; }
     while (true) {
       int i = next.fetch_add(1);
-      if (i >= n) return;
+      if (i >= n) break;
       int64_t rec = indices[i];
       int64_t size = fnio_tfrecord_size(idx, rec);
-      if (size < 0) { status = -2; return; }
+      if (size < 0) { status = -2; break; }
       payload.resize((size_t)size);
-      if (fnio_tfrecord_read(idx, rec, payload.data()) != 0) {
+      if (tfrecord_read_f(idx, f, rec, payload.data()) != 0) {
         status = -3;
-        return;
+        break;
       }
       int64_t offs[3], sizes[3];
       if (fnio_parse_example(payload.data(), size, names, 3, offs, sizes) !=
           0) {
         status = -4;
-        return;
+        break;
       }
       if (sizes[0] != img_px || sizes[1] != img_px ||
           sizes[2] != flo_px * 4) {
         status = -5;
-        return;
+        break;
       }
       const uint8_t* a8 = payload.data() + offs[0];
       const uint8_t* b8 = payload.data() + offs[1];
@@ -391,6 +430,69 @@ int fnio_decode_batch(void* handle, const int64_t* indices, int n,
       std::memcpy(flow + (int64_t)i * flo_px, payload.data() + offs[2],
                   (size_t)flo_px * 4);
     }
+    std::fclose(f);
+  };
+
+  int workers = n_threads > 0 ? n_threads : 1;
+  if (workers > n) workers = n;
+  std::vector<std::thread> threads;
+  threads.reserve(workers);
+  for (int t = 0; t < workers; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return status.load();
+}
+
+// Raw-uint8 variant of fnio_decode_batch: images stay uint8 (straight
+// memcpy out of the parsed Example), flow stays float. This is the
+// host fast path when the [0,1] float conversion runs ON DEVICE inside
+// the jitted train step (uint8 batches are also 4x smaller over the
+// host->device link). On a 1-core host the float convert dominated
+// decode time and capped the pipeline below the device's demand.
+int fnio_decode_batch_u8(void* handle, const int64_t* indices, int n,
+                         int32_t height, int32_t width, uint8_t* image_a,
+                         uint8_t* image_b, float* flow, int n_threads) {
+  auto* idx = (TfRecordIndex*)handle;
+  if (!idx) return -1;
+  const int64_t img_px = (int64_t)height * width * 3;
+  const int64_t flo_px = (int64_t)height * width * 2;
+  std::atomic<int> next{0};
+  std::atomic<int> status{0};
+
+  auto worker = [&]() {
+    std::vector<uint8_t> payload;
+    const char names[] = "image_a\0image_b\0flow";  // NUL-separated
+    FILE* f = std::fopen(idx->path.c_str(), "rb");  // one open per worker
+    if (!f) { status = -3; return; }
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int64_t rec = indices[i];
+      int64_t size = fnio_tfrecord_size(idx, rec);
+      if (size < 0) { status = -2; break; }
+      payload.resize((size_t)size);
+      if (tfrecord_read_f(idx, f, rec, payload.data()) != 0) {
+        status = -3;
+        break;
+      }
+      int64_t offs[3], sizes[3];
+      if (fnio_parse_example(payload.data(), size, names, 3, offs, sizes) !=
+          0) {
+        status = -4;
+        break;
+      }
+      if (sizes[0] != img_px || sizes[1] != img_px ||
+          sizes[2] != flo_px * 4) {
+        status = -5;
+        break;
+      }
+      std::memcpy(image_a + (int64_t)i * img_px, payload.data() + offs[0],
+                  (size_t)img_px);
+      std::memcpy(image_b + (int64_t)i * img_px, payload.data() + offs[1],
+                  (size_t)img_px);
+      std::memcpy(flow + (int64_t)i * flo_px, payload.data() + offs[2],
+                  (size_t)flo_px * 4);
+    }
+    std::fclose(f);
   };
 
   int workers = n_threads > 0 ? n_threads : 1;

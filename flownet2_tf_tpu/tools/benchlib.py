@@ -143,7 +143,8 @@ def cost_analysis(fn, *args):
 
 
 def train_step_ms(model_name="s", batch=8, height=320, width=448,
-                  compute_dtype="bfloat16", iters=8, augment=False):
+                  compute_dtype="bfloat16", iters=8, augment=False,
+                  remat=False):
     """Marginal per-step time of the full jitted DP train step."""
     import jax
     import jax.numpy as jnp
@@ -169,6 +170,7 @@ def train_step_ms(model_name="s", batch=8, height=320, width=448,
         augment=augment,
         tensorboard=False,
         checkpoint_every=0,
+        remat=remat,
     )
     trainer = Trainer(cfg)
     state = trainer.init_state()

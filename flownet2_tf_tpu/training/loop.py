@@ -42,6 +42,54 @@ from flownet2_tf_tpu.training import optim
 from flownet2_tf_tpu.utils.schedules import get_schedule
 
 
+def _images_to_float(x):
+    """On-device [0,1] float conversion for uint8-fed batches.
+
+    The host input pipeline ships images as raw uint8 (3x less host
+    decode work, 4x less host->device traffic — benchmarks/
+    input_pipeline.py); the conversion fuses into the first conv's
+    program here. Float batches (synthetic/raw-dataset loaders) pass
+    through unchanged, so numerics are identical either way.
+    """
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
+def _use_threaded_prefetch(mode: str) -> bool:
+    if mode == "thread":
+        return True
+    if mode == "inline":
+        return False
+    if mode != "auto":
+        raise ValueError(
+            f"device_prefetch must be 'auto'|'thread'|'inline', got "
+            f"{mode!r}"
+        )
+    # 'auto': threaded unless the device is remote-attached via axon
+    return "axon" not in os.environ.get("JAX_PLATFORMS", "").lower()
+
+
+class _ClosingIter:
+    """Iterator wrapper that forwards close() to an underlying
+    generator (itertools.chain drops it)."""
+
+    def __init__(self, it, closeable):
+        self._it = iter(it)
+        self._closeable = closeable
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._it)
+
+    def close(self):
+        close = getattr(self._closeable, "close", None)
+        if close is not None:
+            close()
+
+
 @dataclasses.dataclass
 class TrainConfig:
     model: str = "s"
@@ -64,6 +112,14 @@ class TrainConfig:
     # periodic validation: every N steps evaluate AEE on eval batches
     eval_every: int = 0
     eval_batches: int = 4
+    # batch staging: 'auto' | 'thread' | 'inline'. 'thread' overlaps
+    # batch k+1's host->device transfer with step k via a worker thread
+    # (the right design on real TPU hosts, where device_put is a
+    # blocking DMA). 'auto' falls back to 'inline' when the device is
+    # remote-attached through the axon relay: its single tunneled
+    # connection head-of-line-blocks concurrent RPCs from two threads
+    # (measured: 90 ms/step threaded vs 28.8 inline for FlowNetS b8).
+    device_prefetch: str = "auto"
 
 
 class Trainer:
@@ -186,8 +242,8 @@ class Trainer:
             )
 
         def loss_fn(params, batch, key):
-            image_a = batch["image_a"]
-            image_b = batch["image_b"]
+            image_a = _images_to_float(batch["image_a"])
+            image_b = _images_to_float(batch["image_b"])
             flow = batch["flow"]
             if augment:
                 image_a, image_b, flow = augmentation._augment_impl_frozen(
@@ -259,6 +315,9 @@ class Trainer:
 
         image_a = batch["image_a"][:1]
         image_b = batch["image_b"][:1]
+        if image_a.dtype == np.uint8:  # uint8-fed pipeline
+            image_a = image_a.astype(np.float32) / 255.0
+            image_b = image_b.astype(np.float32) / 255.0
         flow_gt = batch["flow"][:1]
         if preprocess is not None:
             from flownet2_tf_tpu.data import augmentation
@@ -299,8 +358,10 @@ class Trainer:
 
             @jax.jit
             def eval_batch(params, batch):
-                a, h, w = pad_to_multiple(batch["image_a"])
-                b, _, _ = pad_to_multiple(batch["image_b"])
+                a, h, w = pad_to_multiple(_images_to_float(
+                    batch["image_a"]))
+                b, _, _ = pad_to_multiple(_images_to_float(
+                    batch["image_b"]))
                 preds = self.model.apply(
                     params,
                     {"input_a": a, "input_b": b},
@@ -371,6 +432,9 @@ class Trainer:
         batch_iter = itertools.chain(
             [first_batch] if first_batch is not None else [], probe_iter
         )
+        # itertools.chain has no close(); give DevicePrefetcher.close a
+        # handle that shuts the underlying BatchLoader generator down
+        batch_iter = _ClosingIter(batch_iter, probe_iter)
 
         step_fn = self.get_step_fn(preprocess)
         writer = None
@@ -384,27 +448,22 @@ class Trainer:
         t_last = time.time()
         examples_since = 0
         step = start_step
+        # device_put BLOCKS its calling thread (11.4 ms for a 16 MB b8
+        # batch, measured), so batch staging runs in a worker thread:
+        # batch k+1's host->device transfer overlaps step k's execution
+        # (parallel/mesh.py::DevicePrefetcher) — except through the
+        # axon relay, whose single tunneled connection serializes
+        # concurrent RPCs (see TrainConfig.device_prefetch).
+        prefetcher = mesh_lib.DevicePrefetcher(
+            batch_iter, self.mesh,
+            threaded=_use_threaded_prefetch(cfg.device_prefetch),
+        )
         try:
-            # one-deep device prefetch: the NEXT batch's host->device
-            # transfer overlaps the current step's execution (step
-            # dispatch is async; device_put for batch k+1 is issued
-            # before anything blocks on step k's results)
-            pending = next(batch_iter, None)
-            pending_dev = (
-                mesh_lib.shard_batch(self.mesh, pending)
-                if pending is not None
-                else None
-            )
-            while step < max_steps and pending is not None:
-                batch, device_batch = pending, pending_dev
+            for batch, device_batch in prefetcher:
+                if step >= max_steps:
+                    break
                 key, sub = jax.random.split(key)
                 state, metrics = step_fn(state, device_batch, sub)
-                pending = next(batch_iter, None)
-                pending_dev = (
-                    mesh_lib.shard_batch(self.mesh, pending)
-                    if pending is not None
-                    else None
-                )
                 step += 1
                 examples_since += batch["image_a"].shape[0]
 
@@ -450,6 +509,7 @@ class Trainer:
                 if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
                     self.save(state)
         finally:
+            prefetcher.close()
             if self._ckpt_mgr is not None:
                 self.save(state, wait=True)
             if writer:

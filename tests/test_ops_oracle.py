@@ -325,3 +325,85 @@ def test_bilinear_gather_large_batch_lax_map_path(rng):
 
     g = jax.grad(f)(img)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+# ---------------------------------------------------------------------------
+# Half-resolution stack warp (flag-gated approximation)
+# ---------------------------------------------------------------------------
+
+def test_stack_warp_defaults_to_full_res(rng):
+    """With the flag off (default), stack_warp IS flow_warp."""
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+
+    img = jnp.asarray(rng.rand(1, 16, 24, 3).astype(np.float32))
+    flo = jnp.asarray((rng.rand(1, 16, 24, 2) * 4 - 2).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(fw.stack_warp(img, flo)),
+        np.asarray(fw.flow_warp(img, flo)),
+    )
+
+
+def test_flow_warp_half_close_on_smooth_content(rng):
+    """On smooth (bilinear-representable) image content and smooth flow,
+    the half-res warp approximates the full-res warp closely — the
+    regime trained stage flows live in (they are upsampled quarter-res
+    fields)."""
+    from flownet2_tf_tpu.ops import dispatch
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+
+    h, w = 32, 48
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # smooth image: low-frequency gradients per channel
+    img = np.stack(
+        [xx / w, yy / h, (xx + yy) / (h + w)], axis=-1
+    )[None].astype(np.float32)
+    # smooth flow field
+    flo = np.stack(
+        [1.5 + 0.01 * yy, -0.75 + 0.01 * xx], axis=-1
+    )[None].astype(np.float32)
+
+    full = np.asarray(fw.flow_warp(jnp.asarray(img), jnp.asarray(flo)))
+    half = np.asarray(fw.flow_warp_half(jnp.asarray(img), jnp.asarray(flo)))
+    assert half.shape == full.shape
+    # interior agreement (borders differ: clamp happens at half res)
+    err = np.abs(half - full)[:, 2:-2, 2:-2, :]
+    assert err.mean() < 5e-3, err.mean()
+
+    with dispatch.use_half_res_warp(True):
+        routed = np.asarray(
+            fw.stack_warp(jnp.asarray(img), jnp.asarray(flo))
+        )
+    np.testing.assert_array_equal(routed, half)
+
+
+def test_flow_warp_multi_half_matches_single(rng):
+    """The multi-flow half-res warp equals per-flow half-res warps."""
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+
+    img = jnp.asarray(rng.rand(1, 16, 24, 3).astype(np.float32))
+    flows = jnp.asarray((rng.rand(2, 16, 24, 2) * 3 - 1.5).astype(np.float32))
+
+    multi = np.asarray(fw.flow_warp_multi_half(img, flows))
+    singles = np.concatenate(
+        [
+            np.asarray(fw.flow_warp_half(img, flows[i : i + 1]))
+            for i in range(2)
+        ]
+    )
+    np.testing.assert_allclose(multi, singles, rtol=0, atol=1e-6)
+
+
+def test_flow_warp_half_differentiable(rng):
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+
+    img = jnp.asarray(rng.rand(1, 8, 12, 3).astype(np.float32))
+    flo = jnp.asarray((rng.rand(1, 8, 12, 2) * 2 - 1).astype(np.float32))
+
+    g_img = jax.grad(lambda im: fw.flow_warp_half(im, flo).sum())(img)
+    g_flo = jax.grad(lambda fl: fw.flow_warp_half(img, fl).sum())(flo)
+    assert np.all(np.isfinite(np.asarray(g_img)))
+    assert np.all(np.isfinite(np.asarray(g_flo)))

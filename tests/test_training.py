@@ -339,3 +339,72 @@ def test_evaluate_uses_cached_jitted_fn(tmp_path):
     trainer.evaluate(state, loader)
     assert trainer._eval_batch_fn() is fn_first
     assert trainer._eval_batch_cached is fn_first
+
+
+def test_device_prefetcher_yields_all_batches_and_propagates_errors():
+    """DevicePrefetcher (parallel/mesh.py): the threaded device-staging
+    stage must yield every source batch in order as (host, device)
+    pairs, stop cleanly, and forward source-iterator exceptions."""
+    from flownet2_tf_tpu.parallel import mesh as mesh_lib
+
+    mesh = _one_device_mesh()
+    batches = [
+        {"x": np.full((2, 4), i, np.float32)} for i in range(5)
+    ]
+
+    pf = mesh_lib.DevicePrefetcher(iter(batches), mesh)
+    seen = []
+    for host, dev in pf:
+        assert isinstance(dev["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(dev["x"]), host["x"])
+        seen.append(int(host["x"][0, 0]))
+    assert seen == [0, 1, 2, 3, 4]
+    pf.close()
+
+    def boom():
+        yield {"x": np.zeros((2, 4), np.float32)}
+        raise RuntimeError("decode failed")
+
+    pf = mesh_lib.DevicePrefetcher(boom(), mesh)
+    next(pf)
+    try:
+        with pytest.raises(RuntimeError, match="decode failed"):
+            next(pf)
+    finally:
+        pf.close()
+
+
+def test_device_prefetcher_close_stops_worker():
+    from flownet2_tf_tpu.parallel import mesh as mesh_lib
+
+    mesh = _one_device_mesh()
+
+    def endless():
+        i = 0
+        while True:
+            yield {"x": np.full((2, 4), i, np.float32)}
+            i += 1
+
+    pf = mesh_lib.DevicePrefetcher(endless(), mesh)
+    next(pf)
+    pf.close()
+    assert not pf._thread.is_alive()
+
+
+def test_device_prefetcher_inline_mode():
+    """threaded=False stages on the consumer thread (the axon-relay
+    fallback) with identical iteration semantics."""
+    from flownet2_tf_tpu.parallel import mesh as mesh_lib
+    from flownet2_tf_tpu.training.loop import _use_threaded_prefetch
+
+    mesh = _one_device_mesh()
+    batches = [{"x": np.full((2, 4), i, np.float32)} for i in range(3)]
+    pf = mesh_lib.DevicePrefetcher(iter(batches), mesh, threaded=False)
+    seen = [int(h["x"][0, 0]) for h, d in pf]
+    assert seen == [0, 1, 2]
+    pf.close()
+
+    assert _use_threaded_prefetch("thread") is True
+    assert _use_threaded_prefetch("inline") is False
+    with pytest.raises(ValueError):
+        _use_threaded_prefetch("bogus")
