@@ -24,6 +24,28 @@ def _add_common_model_arg(p):
         "--model", default="s",
         help="model name: s, c, cs, css, sd, 2 (or flownet_* aliases)",
     )
+    p.add_argument(
+        "--half_res_warp", action="store_true",
+        help="run stack warps at half resolution (~4x cheaper gathers; "
+             "approximate — see docs/DESIGN.md for the measured AEE "
+             "trade)",
+    )
+    p.add_argument(
+        "--f32_features", default=None, choices=["highest", "default"],
+        help="matmul precision for feature convs on the f32 path "
+             "(default: highest — the parity setting)",
+    )
+
+
+def _apply_perf_flags(args):
+    """Perf knobs apply via their env defaults so every trace in the
+    process (including jitted helpers) sees them."""
+    import os
+
+    if getattr(args, "half_res_warp", False):
+        os.environ["FLOWNET2_TPU_HALF_RES_WARP"] = "1"
+    if getattr(args, "f32_features", None):
+        os.environ["FLOWNET2_TPU_F32_FEATURES"] = args.f32_features
 
 
 def parse_warm_start_spec(spec):
@@ -446,6 +468,7 @@ def _enable_compilation_cache():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     _enable_compilation_cache()
+    _apply_perf_flags(args)
     return args.fn(args)
 
 

@@ -124,12 +124,20 @@ def _conv_io_dtypes(compute_dtype, act):
       cost).
     * f32 policy (compute_dtype None): f32 with HIGHEST precision (this
       environment's DEFAULT rounds conv operands to bf16 even on CPU,
-      which would eat the <=1e-2 EPE parity budget).
+      which would eat the <=1e-2 EPE parity budget). Feature layers can
+      be dropped to DEFAULT precision via
+      ``dispatch.use_f32_features_precision('default')`` — flow heads
+      keep HIGHEST; measured speed/accuracy trade in docs/DESIGN.md.
     """
-    if compute_dtype is None or compute_dtype == jnp.float32 or not act:
-        return jnp.float32, lax.Precision.HIGHEST if (
-            compute_dtype is None or compute_dtype == jnp.float32
-        ) else lax.Precision.DEFAULT
+    f32_policy = compute_dtype is None or compute_dtype == jnp.float32
+    if f32_policy:
+        from flownet2_tf_tpu.ops import dispatch
+
+        if act and dispatch.get_f32_features_precision() == "default":
+            return jnp.float32, lax.Precision.DEFAULT
+        return jnp.float32, lax.Precision.HIGHEST
+    if not act:
+        return jnp.float32, lax.Precision.DEFAULT
     return compute_dtype, lax.Precision.DEFAULT
 
 

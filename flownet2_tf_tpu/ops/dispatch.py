@@ -89,6 +89,33 @@ def use_s2d(enabled):
         _state.s2d = prev
 
 
+def get_f32_features_precision() -> str:
+    """Matmul precision for FEATURE convs (act=True) on the f32 parity
+    path: 'highest' (default — owns the <=1e-2 EPE parity budget) or
+    'default' (XLA DEFAULT, ~bf16 operand rounding, ~2x faster). Flow
+    heads/upsamplers keep HIGHEST either way. Measured trade in
+    docs/DESIGN.md (VERDICT r2 #9)."""
+    mode = getattr(_state, "f32_features_precision", None)
+    if mode is None:
+        mode = os.environ.get("FLOWNET2_TPU_F32_FEATURES", "highest")
+    if mode not in ("highest", "default"):
+        raise ValueError(
+            f"f32 features precision must be 'highest'|'default', got "
+            f"{mode!r}"
+        )
+    return mode
+
+
+@contextlib.contextmanager
+def use_f32_features_precision(mode: str):
+    prev = getattr(_state, "f32_features_precision", None)
+    _state.f32_features_precision = mode
+    try:
+        yield
+    finally:
+        _state.f32_features_precision = prev
+
+
 def get_half_res_warp():
     """Thread-local override for half-resolution warping: None (use the
     ``FLOWNET2_TPU_HALF_RES_WARP`` env default in ``ops.flow_warp``),

@@ -248,3 +248,37 @@ def test_s2d_dispatch_override(rng):
         np.asarray(got["flow"]), np.asarray(want["flow"]),
         atol=5e-3, rtol=1e-4,
     )
+
+
+def test_f32_features_precision_override():
+    """dispatch.use_f32_features_precision('default') relaxes FEATURE
+    convs on the f32 path (DEFAULT precision ~ bf16 operand rounding)
+    while keeping outputs close; 'highest' stays the default policy
+    (VERDICT r2 #9 probe infrastructure)."""
+    import numpy as np
+
+    import jax
+    from flownet2_tf_tpu.models.registry import get_model
+    from flownet2_tf_tpu.ops import dispatch
+
+    model = get_model("s")
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    inputs = {
+        "input_a": jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32)),
+        "input_b": jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32)),
+    }
+
+    flow_hi = np.asarray(model.apply(params, inputs)["flow"])
+    with dispatch.use_f32_features_precision("default"):
+        flow_def = np.asarray(model.apply(params, inputs)["flow"])
+    with dispatch.use_f32_features_precision("highest"):
+        flow_hi2 = np.asarray(model.apply(params, inputs)["flow"])
+
+    np.testing.assert_array_equal(flow_hi, flow_hi2)  # default is highest
+    # relaxed precision perturbs, but stays close on a smooth model
+    assert np.abs(flow_def - flow_hi).mean() < 0.05
+
+    with pytest.raises(ValueError):
+        with dispatch.use_f32_features_precision("bogus"):
+            model.apply(params, inputs)
