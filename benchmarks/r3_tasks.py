@@ -29,6 +29,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--skip_corr", action="store_true")
     parser.add_argument("--skip_train", action="store_true")
+    parser.add_argument("--models", default="css,2",
+                        help="comma list of train-step models to bench")
     args = parser.parse_args()
 
     import jax
@@ -74,7 +76,7 @@ def main():
     if not args.skip_train:
         print("== deep-stack train steps (b8 @320x448, bf16)", flush=True)
         results.setdefault("train_step_deep", {})
-        for model in ("css", "2"):
+        for model in args.models.split(","):
             for remat in (False, True):
                 key = f"{model}_remat{int(remat)}"
                 ms, eps = train_step_ms(

@@ -22,12 +22,17 @@ Python shim ``src/correlation.py``):
 The oracle below is pure lax/jnp (a scan over the D^2 displacements with a
 windowed reduction), differentiable by autodiff — it IS the numerics
 contract. The performance path is ``_correlation_mxu`` (batched einsum +
-skew-reshape band extraction, ~3x the oracle on v5e at FlowNetC shapes;
-selected by 'auto' when the configuration supports it). The Pallas row
-kernel (ops/pallas/correlation_kernel.py) is the interpret-mode
-sanitizer; it is VPU-bound and intentionally NOT the default. All
-implementations must match the oracle to float tolerance
-(tests/test_correlation.py, tests/test_pallas_kernels.py).
+skew-reshape band extraction; selected by 'auto' when the configuration
+supports it). Measured story (v5e, FlowNetC 448x1024 feature shapes,
+benchmarks/results.json): ISOLATED, the Pallas row kernel edges out mxu
+(0.97 vs 1.09 ms, oracle 1.25); IN-MODEL (FlowNetC end-to-end forward,
+b1 bf16, "correlation_in_model_flownetc"), mxu wins decisively —
+2.94-2.99 ms total vs 3.72 oracle and 4.11 pallas, i.e. the Pallas
+custom call costs ~1.1 ms more in context than its isolated win
+predicts (layout constraints + lost fusion with the producer convs).
+'auto' therefore selects mxu; the Pallas kernel remains the
+interpret-mode sanitizer. All implementations must match the oracle to
+float tolerance (tests/test_correlation.py, tests/test_pallas_kernels.py).
 """
 
 from __future__ import annotations

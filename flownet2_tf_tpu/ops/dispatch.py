@@ -8,13 +8,15 @@ implementations with identical numerics contracts:
   differentiable through autodiff. The correctness reference.
 * ``mxu`` — correlation only: the batched-einsum + skew-reshape
   formulation that puts the cost-volume contraction on the systolic
-  array (``ops/correlation.py::_correlation_mxu``). Measured faster
-  than the scan oracle at FlowNetC shapes on v5e across every sweep
-  (1.15-3x; the margin varies run to run — see
-  benchmarks/results.json "ops"); the default performance path.
+  array (``ops/correlation.py::_correlation_mxu``); the default
+  performance path. Decided by the IN-MODEL A/B (FlowNetC 448x1024 b1
+  bf16 end-to-end, benchmarks/results.json
+  "correlation_in_model_flownetc"): mxu 2.94-2.99 ms vs oracle 3.72
+  vs pallas 4.11.
 * ``pallas`` — hand-tiled Pallas TPU kernels with custom VJPs. The
-  correlation row kernel measures within the same noise band as the
-  mxu path on some sweeps and behind it on others; it is kept as the
+  correlation row kernel wins the ISOLATED sweep (0.97 vs 1.09 ms
+  mxu) but loses in-model by ~1.1 ms (custom-call layout pinning +
+  lost fusion; see ops/correlation.py docstring); it is kept as the
   interpret-mode sanitizer and for explicit use. flow_warp has no
   Pallas variant at all (Mosaic's only gather is a same-shape
   take-along-sublanes, which cannot express the warp); its

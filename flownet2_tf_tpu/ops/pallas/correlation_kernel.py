@@ -16,8 +16,14 @@ dy-major 441-channel group directly (channel order matches the CUDA
 kernel's top_channel enumeration).
 
 This kernel is VPU-compute-bound at the same throughput class as the
-XLA scan oracle and does not beat it (measured r2: 1.3-3.8 ms vs
-1.5-1.8 ms oracle at FlowNetC 448x1024 shapes). An in-kernel MXU
+XLA scan oracle. In the r2/r3 isolated sweep it is actually the
+fastest correlation impl (0.97 ms vs 1.09 mxu / 1.25 oracle at
+FlowNetC 448x1024 shapes) — but IN-MODEL it loses by ~1.1 ms
+(FlowNetC b1 bf16 end-to-end: mxu 2.94-2.99 ms, oracle 3.72, pallas
+4.11; benchmarks/results.json "correlation_in_model_flownetc"): the
+custom call pins operand layouts and blocks fusion with the producer
+convs, costs the isolated microbench never sees. 'auto' therefore
+dispatches to the mxu path. An in-kernel MXU
 variant (one (W, C) x (C, W+2d) ``dot_general`` per row computing all
 pairwise pixel dots, then masked-reduce diagonal extraction) was built
 and measured SLOWER (3.8 ms): the band extraction touches W^2 lanes
