@@ -37,12 +37,16 @@ def s2d_slices(x):
     )
 
 
+def s2d_conv(x):
+    return common._space_to_depth_conv(x)
+
+
 def main():
     results = {}
     orig = common.space_to_depth
 
     for name, impl in (("transpose", orig), ("slices", s2d_slices),
-                       ("transpose2", orig)):
+                       ("conv", s2d_conv), ("transpose2", orig)):
         common.space_to_depth = impl
         r = run_bench(model="2", iters=16, repeats=3)
         results[name] = {

@@ -260,11 +260,49 @@ def space_to_depth(x):
 
     Channel order is phase-major (qy, qx, c) — the weight transforms
     below assume it.
+
+    Lowering is selected by FLOWNET2_TPU_S2D_FOLD: ``transpose``
+    (reshape/6-D transpose/reshape, the default) or ``conv`` (a
+    stride-2 2x2 identity conv — exact, every output element is
+    1.0*x + zeros — which routes the relayout through XLA's conv
+    emitter instead of explicit copy ops). The A/B lives in
+    benchmarks/s2d_experiments.py.
     """
+    if _S2D_FOLD == "conv":
+        return _space_to_depth_conv(x)
     n, h, w, c = x.shape
     x = x.reshape(n, h // 2, 2, w // 2, 2, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+_S2D_FOLD = _os.environ.get("FLOWNET2_TPU_S2D_FOLD", "transpose")
+
+
+def _s2d_fold_kernel(c, dtype):
+    """(2, 2, c, 4c) identity kernel: K[qy, qx, ch, (qy*2+qx)*c + ch]=1."""
+    import numpy as _np
+
+    k = _np.zeros((2, 2, c, 4 * c), dtype=_np.float32)
+    for qy in range(2):
+        for qx in range(2):
+            for ch in range(c):
+                k[qy, qx, ch, (qy * 2 + qx) * c + ch] = 1.0
+    return jnp.asarray(k, dtype=dtype)
+
+
+def _space_to_depth_conv(x):
+    n, h, w, c = x.shape
+    return lax.conv_general_dilated(
+        x,
+        _s2d_fold_kernel(c, x.dtype),
+        window_strides=(2, 2),
+        padding="VALID",
+        dimension_numbers=_DN,
+        # identity kernel: HIGHEST keeps 1.0*x exact (default precision
+        # rounds operands to bf16)
+        precision=lax.Precision.HIGHEST,
+    )
 
 
 def _s2d_w7(w):
@@ -389,14 +427,34 @@ def conv3x3s1_s2d(p, x, in_splits=None, act: bool = True,
     return y
 
 
-def conv7x7s2_s2d(p, x, compute_dtype=None):
+def conv7x7s2_s2d(p, x, compute_dtype=None, in_splits=None,
+                  x_is_s2d: bool = False):
     """Drop-in for ``conv(p, x, stride=2)`` with a 7x7 kernel: S2D the
-    input, run an equivalent 4x4/1 conv on 4x channels."""
+    input, run an equivalent 4x4/1 conv on 4x channels.
+
+    With ``x_is_s2d`` the caller supplies an already-S2D-encoded input
+    built BLOCKWISE — ``concat([S2D(A), S2D(B), ...])`` with original
+    channel counts ``in_splits`` — and no fold happens here. This is the
+    stage-2 assembly path (models/stacks.py): the warped concat is
+    assembled directly in S2D space, so the full-res 12-channel tensor
+    (and its fold transpose) never materializes."""
     w = p["weights"]
     io_dtype, precision = _conv_io_dtypes(compute_dtype, True)
+    if x_is_s2d:
+        if in_splits is None:
+            in_splits = (w.shape[2],)
+        parts, off = [], 0
+        for s in in_splits:
+            parts.append(_s2d_w7(w[:, :, off : off + s]))
+            off += s
+        w2 = jnp.concatenate(parts, axis=2)
+        x = x.astype(io_dtype)
+    else:
+        w2 = _s2d_w7(w)
+        x = space_to_depth(x.astype(io_dtype))
     y = lax.conv_general_dilated(
-        space_to_depth(x.astype(io_dtype)),
-        _s2d_w7(w).astype(io_dtype),
+        x,
+        w2.astype(io_dtype),
         window_strides=(1, 1),
         padding=((2, 1), (2, 1)),
         dimension_numbers=_DN,
@@ -405,20 +463,84 @@ def conv7x7s2_s2d(p, x, compute_dtype=None):
     return leaky_relu(y + p["biases"].astype(io_dtype))
 
 
+def channel_norm_s2d(x):
+    """Per-phase :func:`channel_norm` of an S2D-encoded tensor.
+
+    ``x``: (n, h, w, 4c) phase-major. Returns (n, h, w, 4) — exactly
+    ``space_to_depth(channel_norm(depth_to_space(x)))``, computed
+    without leaving S2D space. Per-phase channel slices (not a
+    (..., 4, c) reshape, whose tiny minor dims tile at ~5% lane
+    utilization — the r3 phase-shaped-warp lesson, ops/flow_warp.py
+    S2D section)."""
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    return jnp.concatenate(
+        [
+            jnp.sqrt(
+                jnp.sum(
+                    jnp.square(x[..., q * c : (q + 1) * c]),
+                    axis=-1,
+                    keepdims=True,
+                )
+            )
+            for q in range(4)
+        ],
+        axis=-1,
+    )
+
+
+def s2d_encode_upsample2x(x):
+    """TF1 bilinear 2x upsample of ``x`` emitted directly in S2D form.
+
+    (n, h, w, c) -> (n, h, w, 4c) phase-major; exactly equals
+    ``space_to_depth(resize_bilinear_tf1(x, 2h, 2w))``. For scale 2,
+    TF1 align_corners=False maps output pixel 2i -> source i and
+    2i+1 -> source i+0.5 (border-clamped), so the four phases are the
+    identity and the three half-pixel averages — pure elementwise
+    shifts, no resize gather and no fold transpose."""
+    n, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+    x_r = xp[:, :h, 1 : w + 1]    # right neighbor (clamped)
+    x_d = xp[:, 1 : h + 1, :w]    # down neighbor
+    x_dr = xp[:, 1 : h + 1, 1 : w + 1]
+    half = jnp.asarray(0.5, x.dtype)
+    quarter = jnp.asarray(0.25, x.dtype)
+    p00 = x
+    p01 = half * (x + x_r)
+    p10 = half * (x + x_d)
+    p11 = quarter * (x + x_r + x_d + x_dr)
+    return jnp.concatenate([p00, p01, p10, p11], axis=-1)
+
+
 def conv_pair3x3_s2d(p0, p1, x, compute_dtype=None,
-                     return_intermediate: bool = False):
+                     return_intermediate: bool = False,
+                     in_splits=None, x_is_s2d: bool = False):
     """Drop-in for ``conv1(conv0(x))`` where conv0 is a full-res 3x3/1
     and conv1 a 3x3/2 (the FlowNetSD conv0/conv1 and FlowNet2
     fuse_conv0/fuse_conv1 heads): both run in S2D space, so no full-res
     activation is ever materialized. Output equals the plain pair's
     half-res conv1 output exactly. With ``return_intermediate`` also
     returns conv0's S2D-encoded activation (for decoder skips that
-    consume it — e.g. FlowNet2's fuse_conv0 -> fuse_interconv0 path)."""
+    consume it — e.g. FlowNet2's fuse_conv0 -> fuse_interconv0 path).
+    ``x_is_s2d``/``in_splits``: as :func:`conv7x7s2_s2d` — the caller
+    hands over a blockwise-assembled S2D input (FlowNet2 fusion
+    assembly), and conv0's weights are transformed per block."""
     io_dtype, precision = _conv_io_dtypes(compute_dtype, True)
-    x2 = space_to_depth(x.astype(io_dtype))
+    if x_is_s2d:
+        x2 = x.astype(io_dtype)
+        if in_splits is None:
+            in_splits = (p0["weights"].shape[2],)
+        parts, off = [], 0
+        for s in in_splits:
+            parts.append(_s2d_w3s1(p0["weights"][:, :, off : off + s]))
+            off += s
+        w0 = jnp.concatenate(parts, axis=2)
+    else:
+        x2 = space_to_depth(x.astype(io_dtype))
+        w0 = _s2d_w3s1(p0["weights"])
     y0 = lax.conv_general_dilated(
         x2,
-        _s2d_w3s1(p0["weights"]).astype(io_dtype),
+        w0.astype(io_dtype),
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=_DN,

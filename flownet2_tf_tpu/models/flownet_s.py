@@ -76,9 +76,14 @@ def init(key, input_channels: int = 6, dtype=jnp.float32):
     return params
 
 
-def apply(params, inputs, training: bool = False, compute_dtype=None):
+def apply(params, inputs, training: bool = False, compute_dtype=None,
+          x_s2d: bool = False, in_splits=None):
     """Forward pass. ``inputs``: dict with 'input_a'/'input_b' (NHWC,
-    [0,1] floats) or a pre-concatenated NHWC tensor.
+    [0,1] floats) or a pre-concatenated NHWC tensor. With ``x_s2d`` the
+    tensor is instead a blockwise S2D-encoded input at half resolution
+    (models/stacks.py stage-2 assembly) with original channel counts
+    ``in_splits``; conv1 consumes it directly via the transformed
+    4x4/1 head and no full-res input ever materializes.
 
     Returns {'predict_flow6'..'predict_flow2', 'flow'} like the reference.
     """
@@ -86,13 +91,20 @@ def apply(params, inputs, training: bool = False, compute_dtype=None):
         x = jnp.concatenate([inputs["input_a"], inputs["input_b"]], axis=-1)
     else:
         x = inputs
-    n, in_h, in_w, _ = x.shape
+    if x_s2d:
+        n, half_h, half_w, _ = x.shape
+        in_h, in_w = 2 * half_h, 2 * half_w
+    else:
+        n, in_h, in_w, _ = x.shape
     common.check_divisible_by_64(in_h, in_w)
 
     cd = compute_dtype
     acts = {}
     for name, _, stride, _ in ENCODER:
-        if name == "conv1" and common.use_s2d_head7(x.shape[-1]):
+        if name == "conv1" and x_s2d:
+            x = common.conv7x7s2_s2d(params[name], x, compute_dtype=cd,
+                                     in_splits=in_splits, x_is_s2d=True)
+        elif name == "conv1" and common.use_s2d_head7(x.shape[-1]):
             # space-to-depth head: exactly equivalent 4x4/1 conv on the
             # 2x2-folded input. Only taken for wide (stage-2) inputs —
             # the fold costs ~1 ms at full res (common.py S2D flags).

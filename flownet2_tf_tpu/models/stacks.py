@@ -31,8 +31,92 @@ import jax.numpy as jnp
 
 from flownet2_tf_tpu.models import common, flownet_c, flownet_s, flownet_sd
 from flownet2_tf_tpu.models.base import FLOW_SCALE, multiscale_loss
-from flownet2_tf_tpu.ops.flow_warp import stack_warp, stack_warp_multi
+from flownet2_tf_tpu.ops.flow_warp import (
+    stack_warp,
+    stack_warp_multi,
+    stack_warp_multi_s2d_enc,
+    stack_warp_s2d_enc,
+)
 from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
+
+
+# Original channel counts of the stage-2 concat blocks
+# [input_a, input_b, warped, flow*0.05, brightness_error] — the S2D
+# assembly concatenates each block's OWN S2D form, and the conv1 weight
+# transform splits accordingly (common.conv7x7s2_s2d in_splits).
+STAGE2_S2D_SPLITS = (3, 3, 3, 2, 1)
+
+
+def _stage_flow_s2d(stage_preds, in_h, in_w):
+    """Full-res stage flow in S2D-encoded form ((n, h/2, w/2, 8)),
+    computed WITHOUT materializing the full-res field.
+
+    Every stage's full-res flow is ``resize4x(predict_flow2 * 20)``
+    (TF1 align_corners=False), and dyadic TF1 resizes compose exactly:
+    resize4x == resize2x ∘ resize2x on the piecewise-linear
+    interpolant (linear interpolation at the half-way points of a PL
+    function reproduces it). So the S2D fold of the full-res flow is
+    ``s2d_encode_upsample2x(resize2x(predict_flow2 * 20))`` — a
+    quarter-size resize plus elementwise phase averages; no full-res
+    2-channel tensor, no fold transpose. Float-rounding-level
+    equivalent (tests/test_models.py::test_stage_flow_s2d_matches_fold).
+    """
+    half = resize_bilinear_tf1(
+        stage_preds["predict_flow2"] * 20.0, in_h // 2, in_w // 2
+    )
+    return common.s2d_encode_upsample2x(half)
+
+
+def _second_stage_input_s2d(input_a, input_b, flow_s2d, compute_dtype=None):
+    """S2D assembly of :func:`_second_stage_input` (r3 perf lever).
+
+    Builds the 48-channel half-res blockwise-S2D input directly: the
+    warp gather emits phase-major records (the reorder lives in the
+    index values — ops/flow_warp.py::_s2d_coords_from_phases), the
+    brightness error is a per-phase channel norm, the flow arrives
+    already S2D-encoded (:func:`_stage_flow_s2d`), and input_a/input_b
+    fold as 2x2 blocks. The full-res 12-channel concat — and the fold
+    transpose the profile charged ~1 ms for — never materializes.
+    Numerically equivalent to the plain path (tests/test_models.py S2D
+    equivalences)."""
+    warped = stack_warp_s2d_enc(input_b, flow_s2d)  # (n, h/2, w/2, 12)
+    a_s2d = common.space_to_depth(input_a)
+    b_s2d = common.space_to_depth(input_b)
+    brightness_error = common.channel_norm_s2d(
+        a_s2d - warped.astype(a_s2d.dtype)
+    )
+    dt = compute_dtype if compute_dtype is not None else input_a.dtype
+    return jnp.concatenate(
+        [
+            a_s2d.astype(dt),
+            b_s2d.astype(dt),
+            warped.astype(dt),
+            (flow_s2d * FLOW_SCALE).astype(dt),
+            brightness_error.astype(dt),
+        ],
+        axis=-1,
+    )
+
+
+def _apply_second_stage(params_s, input_a, input_b, stage_preds, training,
+                        compute_dtype):
+    """Run a stacked FlowNetS stage on the warped concat, choosing the
+    S2D assembly whenever the S2D conv1 head would be used (same gate:
+    the two are one transform)."""
+    if common.use_s2d_head7(12):
+        n, h, w, _ = input_a.shape
+        flow_s2d = _stage_flow_s2d(stage_preds, h, w)
+        x = _second_stage_input_s2d(input_a, input_b, flow_s2d,
+                                    compute_dtype)
+        return flownet_s.apply(
+            params_s, x, training=training, compute_dtype=compute_dtype,
+            x_s2d=True, in_splits=STAGE2_S2D_SPLITS,
+        )
+    x = _second_stage_input(input_a, input_b, stage_preds["flow"],
+                            compute_dtype)
+    return flownet_s.apply(
+        params_s, x, training=training, compute_dtype=compute_dtype
+    )
 
 
 def _second_stage_input(input_a, input_b, flow, compute_dtype=None):
@@ -78,12 +162,9 @@ def apply_cs(params, inputs, training: bool = False, compute_dtype=None):
         params["FlowNetC"], inputs, training=training,
         compute_dtype=compute_dtype,
     )
-    x = _second_stage_input(
-        inputs["input_a"], inputs["input_b"], preds_c["flow"],
-        compute_dtype,
-    )
-    preds = flownet_s.apply(
-        params["FlowNetS"], x, training=training, compute_dtype=compute_dtype
+    preds = _apply_second_stage(
+        params["FlowNetS"], inputs["input_a"], inputs["input_b"],
+        preds_c, training, compute_dtype,
     )
     preds["flow_c"] = preds_c["flow"]
     return preds
@@ -110,12 +191,9 @@ def apply_css(params, inputs, training: bool = False, compute_dtype=None):
         params["FlowNetCS"], inputs, training=training,
         compute_dtype=compute_dtype,
     )
-    x = _second_stage_input(
-        inputs["input_a"], inputs["input_b"], preds_cs["flow"],
-        compute_dtype,
-    )
-    preds = flownet_s.apply(
-        params["FlowNetS"], x, training=training, compute_dtype=compute_dtype
+    preds = _apply_second_stage(
+        params["FlowNetS"], inputs["input_a"], inputs["input_b"],
+        preds_cs, training, compute_dtype,
     )
     preds["flow_cs"] = preds_cs["flow"]
     return preds
@@ -139,6 +217,10 @@ FUSION = [
 ]
 
 FUSION_IN_CHANNELS = 11  # 3 + 2 + 2 + 1 + 1 + 1 + 1
+# Block channel counts for the S2D fusion assembly (see
+# _second_stage_input_s2d / common.conv_pair3x3_s2d in_splits):
+# [input_a, flow_css*0.05, flow_sd*0.05, mag_css, mag_sd, err_css, err_sd]
+FUSION_S2D_SPLITS = (3, 2, 2, 1, 1, 1, 1)
 
 
 def init_flownet2(key, dtype=jnp.float32):
@@ -197,60 +279,111 @@ def apply_flownet2(params, inputs, training: bool = False,
     # (the warp gather is the profile's top cost). f32 gather tables:
     # see _second_stage_input.
     n = input_b.shape[0]
-    if n == 1:
-        warped_pair = stack_warp_multi(
-            input_b, jnp.concatenate([flow_css, flow_sd], axis=0)
-        )
-        warped_css, warped_sd = jnp.split(warped_pair, 2, axis=0)
-    else:
-        css_parts, sd_parts = [], []
-        for i in range(n):
-            pair = stack_warp_multi(
-                input_b[i : i + 1],
-                jnp.concatenate(
-                    [flow_css[i : i + 1], flow_sd[i : i + 1]], axis=0
-                ),
-            )
-            css_parts.append(pair[0:1])
-            sd_parts.append(pair[1:2])
-        warped_css = jnp.concatenate(css_parts, axis=0)
-        warped_sd = jnp.concatenate(sd_parts, axis=0)
-
-    def branch_features(warped, flow):
-        err = common.channel_norm(input_a - warped.astype(input_a.dtype))
-        mag = common.channel_norm(flow)
-        return err, mag
-
-    err_css, mag_css = branch_features(warped_css, flow_css)
-    err_sd, mag_sd = branch_features(warped_sd, flow_sd)
-
-    dt = cd if cd is not None else input_a.dtype
-    x = jnp.concatenate(
-        [
-            input_a.astype(dt),
-            (flow_css * FLOW_SCALE).astype(dt),
-            (flow_sd * FLOW_SCALE).astype(dt),
-            mag_css.astype(dt),
-            mag_sd.astype(dt),
-            err_css.astype(dt),
-            err_sd.astype(dt),
-        ],
-        axis=-1,
-    )
-
     acts = {}
     fuse_conv0_s2d = None
     fusion = FUSION
+    dt = cd if cd is not None else input_a.dtype
     if common.s2d_heads():
-        # fuse_conv0 (full-res 3x3/1, 11ch in) + fuse_conv1 (3x3/2) run
-        # as one space-to-depth pair; conv0's activation is kept in S2D
-        # form for the level-0 skip below. Exactly equivalent
-        # (models/common.py S2D section).
+        # S2D fusion assembly (r3): the warp gathers emit phase-major
+        # records, the per-branch error/magnitude norms run per phase,
+        # the branch flows arrive S2D-encoded analytically
+        # (_stage_flow_s2d — no full-res 2ch flow materializes), and
+        # the 11-channel full-res concat never exists —
+        # fuse_conv0/fuse_conv1 consume the blockwise-S2D input via
+        # per-block transformed weights. Equivalent to the plain path
+        # (tests/test_models.py S2D equivalences).
+        flow_css_s2d = _stage_flow_s2d(preds_css, in_h, in_w)
+        flow_sd_s2d = _stage_flow_s2d(preds_sd, in_h, in_w)
+        if n == 1:
+            warped_pair = stack_warp_multi_s2d_enc(
+                input_b,
+                jnp.concatenate([flow_css_s2d, flow_sd_s2d], axis=0),
+            )
+            warped_css_s2d, warped_sd_s2d = jnp.split(warped_pair, 2, axis=0)
+        else:
+            css_parts, sd_parts = [], []
+            for i in range(n):
+                pair = stack_warp_multi_s2d_enc(
+                    input_b[i : i + 1],
+                    jnp.concatenate(
+                        [flow_css_s2d[i : i + 1], flow_sd_s2d[i : i + 1]],
+                        axis=0,
+                    ),
+                )
+                css_parts.append(pair[0:1])
+                sd_parts.append(pair[1:2])
+            warped_css_s2d = jnp.concatenate(css_parts, axis=0)
+            warped_sd_s2d = jnp.concatenate(sd_parts, axis=0)
+
+        a_s2d = common.space_to_depth(input_a)
+
+        def branch_features_s2d(warped_s2d, flow_s2d):
+            err = common.channel_norm_s2d(
+                a_s2d - warped_s2d.astype(a_s2d.dtype)
+            )
+            mag = common.channel_norm_s2d(flow_s2d)
+            return err, mag
+
+        err_css, mag_css = branch_features_s2d(warped_css_s2d, flow_css_s2d)
+        err_sd, mag_sd = branch_features_s2d(warped_sd_s2d, flow_sd_s2d)
+        x = jnp.concatenate(
+            [
+                a_s2d.astype(dt),
+                (flow_css_s2d * FLOW_SCALE).astype(dt),
+                (flow_sd_s2d * FLOW_SCALE).astype(dt),
+                mag_css.astype(dt),
+                mag_sd.astype(dt),
+                err_css.astype(dt),
+                err_sd.astype(dt),
+            ],
+            axis=-1,
+        )
         x, fuse_conv0_s2d = common.conv_pair3x3_s2d(
             params["fuse_conv0"], params["fuse_conv1"], x,
             compute_dtype=cd, return_intermediate=True,
+            in_splits=FUSION_S2D_SPLITS, x_is_s2d=True,
         )
         fusion = FUSION[2:]
+    else:
+        if n == 1:
+            warped_pair = stack_warp_multi(
+                input_b, jnp.concatenate([flow_css, flow_sd], axis=0)
+            )
+            warped_css, warped_sd = jnp.split(warped_pair, 2, axis=0)
+        else:
+            css_parts, sd_parts = [], []
+            for i in range(n):
+                pair = stack_warp_multi(
+                    input_b[i : i + 1],
+                    jnp.concatenate(
+                        [flow_css[i : i + 1], flow_sd[i : i + 1]], axis=0
+                    ),
+                )
+                css_parts.append(pair[0:1])
+                sd_parts.append(pair[1:2])
+            warped_css = jnp.concatenate(css_parts, axis=0)
+            warped_sd = jnp.concatenate(sd_parts, axis=0)
+
+        def branch_features(warped, flow):
+            err = common.channel_norm(input_a - warped.astype(input_a.dtype))
+            mag = common.channel_norm(flow)
+            return err, mag
+
+        err_css, mag_css = branch_features(warped_css, flow_css)
+        err_sd, mag_sd = branch_features(warped_sd, flow_sd)
+
+        x = jnp.concatenate(
+            [
+                input_a.astype(dt),
+                (flow_css * FLOW_SCALE).astype(dt),
+                (flow_sd * FLOW_SCALE).astype(dt),
+                mag_css.astype(dt),
+                mag_sd.astype(dt),
+                err_css.astype(dt),
+                err_sd.astype(dt),
+            ],
+            axis=-1,
+        )
     for name, _, stride, _, act in fusion:
         x = common.conv(params[name], x, stride=stride, act=act,
                         compute_dtype=cd)

@@ -160,6 +160,243 @@ def flow_warp_multi_half(image, flows, border: str = "clamp",
     return resize_bilinear_tf1(warped_h, h, w)
 
 
+# ---------------------------------------------------------------------------
+# S2D (phase-major) stack warps — the stage-2 assembly primitives
+# ---------------------------------------------------------------------------
+#
+# The stage-2 / fusion S2D assembly (models/stacks.py) wants the warped
+# image directly in space-to-depth form so the full-res row-major tensor
+# (and its fold transpose) never materializes. The first formulation —
+# one full-size gather driven by phase-SHAPED (n, h/2, w/2, 2, 2)
+# coordinate arrays — was numerically exact but a measured 2x END-TO-END
+# REGRESSION (FlowNet2 448x1024 b1 bf16: 24.9 -> 48.4 ms/pair): every
+# tensor with (..., 2, 2[, c]) minor dims tiles onto the (8, 128) /
+# (2, 128) vector layout at ~5-10% lane utilization, and the profile
+# showed the lerp (4x 2.1 ms multiply_reduce fusions), the 7-D record
+# reshapes (4x 1.9 ms) and their layout copies eating ~19 ms/pair.
+#
+# This formulation instead issues FOUR QUARTER-SIZE GATHERS, one per
+# 2x2 phase (qy, qx), over ONE shared packed table. Each phase gather
+# uses clean (1, h/2, w/2) coordinate arrays — exactly the shapes the
+# proven-fast full-res warp uses, so the lerp fuses identically — and
+# the phase outputs concatenate on channels, which IS phase-major S2D
+# order. Total gathered records are unchanged (the gather is
+# issue-rate-bound, ~4.5 ns/record: docs/DESIGN.md), so the gather cost
+# stays flat while all phase-shaped relayouts disappear.
+
+def _phase_xy(u, v, q, h2, w2):
+    """Absolute sample coordinates of phase ``q`` = (qy, qx): full-res
+    pixel (2y + qy, 2x + qx) displaced by that pixel's flow (u, v).
+    ``u``/``v``: (n, h/2, w/2). Returns x2, y2 of the same shape."""
+    qy, qx = divmod(q, 2)
+    bx = (
+        2.0 * jnp.arange(w2, dtype=jnp.float32) + float(qx)
+    )[None, None, :]
+    by = (
+        2.0 * jnp.arange(h2, dtype=jnp.float32) + float(qy)
+    )[None, :, None]
+    return bx + u, by + v
+
+
+def _phase_uv_enc(flow_s2d, q):
+    """Phase-q (u, v) planes of an S2D-ENCODED (n, h/2, w/2, 8) flow
+    (phase-major (qy, qx, (u, v)) channels): a pair of channel slices."""
+    fe = flow_s2d.astype(jnp.float32)
+    return fe[..., 2 * q], fe[..., 2 * q + 1]
+
+
+def _phase_uv_full(flow, q):
+    """Phase-q (u, v) planes of a full-res (n, h, w, 2) flow: strided
+    spatial slices."""
+    qy, qx = divmod(q, 2)
+    f = flow.astype(jnp.float32)
+    return f[:, qy::2, qx::2, 0], f[:, qy::2, qx::2, 1]
+
+
+def _s2d_warp_one(flat, uv_of_phase, h, w, c, border, h2, w2):
+    """Warp one sample from its packed table ``flat``: 4 phase gathers,
+    channel-concatenated -> (1, h/2, w/2, 4c) phase-major."""
+    from flownet2_tf_tpu.ops.sampling import _gather_lerp
+
+    phases = []
+    for q in range(4):
+        u, v = uv_of_phase(q)
+        x2, y2 = _phase_xy(u, v, q, h2, w2)
+        xc = jnp.clip(x2, 0.0, w - 1)
+        yc = jnp.clip(y2, 0.0, h - 1)
+        g = _gather_lerp(flat, xc, yc, w, c)
+        if border == "zero":
+            inside = (
+                (x2 >= 0.0) & (x2 <= w - 1) & (y2 >= 0.0) & (y2 <= h - 1)
+            )
+            g = g * inside[..., None].astype(g.dtype)
+        phases.append(g)
+    return jnp.concatenate(phases, axis=-1)
+
+
+def _pool2_from_s2d(x_s2d):
+    """2x2 area pool of the DECODED tensor, computed from its S2D form:
+    the mean over the 4 phase values of each cell. (n, h, w, 4c) ->
+    (n, h, w, c)."""
+    n, h, w, c4 = x_s2d.shape
+    c = c4 // 4
+    return x_s2d.reshape(n, h, w, 4, c).mean(axis=3)
+
+
+def stack_warp_s2d(image, flow, border: str = "clamp", gather_dtype=None):
+    """:func:`stack_warp` emitting the S2D-encoded warped image.
+
+    Returns (n, h/2, w/2, 4c) phase-major — exactly
+    ``space_to_depth(stack_warp(image, flow))`` (bitwise for the
+    full-res path; the half-res path matches its upsample to float
+    rounding). Used by the stage-2/fusion S2D assembly
+    (models/stacks.py) so the full-res warped image never materializes
+    in row-major layout."""
+    from flownet2_tf_tpu.models.common import s2d_encode_upsample2x
+
+    if half_res_warp_enabled():
+        n, h, w, c = image.shape
+        image_h = _pool2(image)
+        flow_h = _pool2(flow) * 0.5 - 0.25  # grid offset: flow_warp_half
+        warped_h = _flow_warp_oracle(image_h, flow_h, border, gather_dtype)
+        return s2d_encode_upsample2x(warped_h)
+    return _stack_warp_s2d_full(image, flow, border, gather_dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _stack_warp_s2d_full(image, flow, border, gather_dtype=None):
+    from flownet2_tf_tpu.ops.sampling import _pack_table
+
+    n, h, w, c = image.shape
+    h2, w2 = h // 2, w // 2
+    if not jnp.issubdtype(image.dtype, jnp.floating):
+        image = image.astype(jnp.float32)
+    outs = []
+    for i in range(n):
+        flat = _pack_table(image[i : i + 1], gather_dtype)
+        outs.append(
+            _s2d_warp_one(
+                flat,
+                lambda q: _phase_uv_full(flow[i : i + 1], q),
+                h, w, c, border, h2, w2,
+            )
+        )
+    return outs[0] if n == 1 else jnp.concatenate(outs, axis=0)
+
+
+def stack_warp_s2d_enc(image, flow_s2d, border: str = "clamp",
+                       gather_dtype=None):
+    """:func:`stack_warp_s2d` taking the flow in S2D-ENCODED form
+    ((n, h/2, w/2, 8), phase-major) — the form the stage assembly
+    already has (models/stacks.py::_stage_flow_s2d), so the full-res
+    row-major flow never materializes; each phase's (u, v) is a channel
+    slice."""
+    from flownet2_tf_tpu.models.common import s2d_encode_upsample2x
+
+    if half_res_warp_enabled():
+        image_h = _pool2(image)
+        flow_h = _pool2_from_s2d(flow_s2d) * 0.5 - 0.25
+        warped_h = _flow_warp_oracle(image_h, flow_h, border, gather_dtype)
+        return s2d_encode_upsample2x(warped_h)
+    return _stack_warp_s2d_enc_full(image, flow_s2d, border, gather_dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _stack_warp_s2d_enc_full(image, flow_s2d, border, gather_dtype=None):
+    from flownet2_tf_tpu.ops.sampling import _pack_table
+
+    n, h, w, c = image.shape
+    h2, w2 = h // 2, w // 2
+    if not jnp.issubdtype(image.dtype, jnp.floating):
+        image = image.astype(jnp.float32)
+    outs = []
+    for i in range(n):
+        flat = _pack_table(image[i : i + 1], gather_dtype)
+        outs.append(
+            _s2d_warp_one(
+                flat,
+                lambda q: _phase_uv_enc(flow_s2d[i : i + 1], q),
+                h, w, c, border, h2, w2,
+            )
+        )
+    return outs[0] if n == 1 else jnp.concatenate(outs, axis=0)
+
+
+def stack_warp_multi_s2d_enc(image, flows_s2d, border: str = "clamp",
+                             gather_dtype=None):
+    """Multi-flow :func:`stack_warp_s2d_enc`: ONE ((1, h, w, c)) image,
+    M S2D-encoded flows ((M, h/2, w/2, 8)), one shared packed table
+    (the FlowNet2 fusion double warp). Returns (M, h/2, w/2, 4c)."""
+    from flownet2_tf_tpu.models.common import s2d_encode_upsample2x
+
+    if half_res_warp_enabled():
+        image_h = _pool2(image)
+        flows_h = _pool2_from_s2d(flows_s2d) * 0.5 - 0.25
+        warped_h = _flow_warp_multi_impl(image_h, flows_h, border,
+                                         gather_dtype)
+        return s2d_encode_upsample2x(warped_h)
+    return _stack_warp_multi_s2d_enc_full(image, flows_s2d, border,
+                                          gather_dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _stack_warp_multi_s2d_enc_full(image, flows_s2d, border,
+                                   gather_dtype=None):
+    from flownet2_tf_tpu.ops.sampling import _pack_table
+
+    n, h, w, c = image.shape
+    h2, w2 = h // 2, w // 2
+    m = flows_s2d.shape[0]
+    if not jnp.issubdtype(image.dtype, jnp.floating):
+        image = image.astype(jnp.float32)
+    flat = _pack_table(image, gather_dtype)
+    outs = [
+        _s2d_warp_one(
+            flat,
+            lambda q: _phase_uv_enc(flows_s2d[j : j + 1], q),
+            h, w, c, border, h2, w2,
+        )
+        for j in range(m)
+    ]
+    return outs[0] if m == 1 else jnp.concatenate(outs, axis=0)
+
+
+def stack_warp_multi_s2d(image, flows, border: str = "clamp",
+                         gather_dtype=None):
+    """Multi-flow :func:`stack_warp_s2d` (FlowNet2 fusion double warp):
+    one packed table, M x 4 phase gathers. Returns (M, h/2, w/2, 4c)."""
+    from flownet2_tf_tpu.models.common import s2d_encode_upsample2x
+
+    if half_res_warp_enabled():
+        image_h = _pool2(image)
+        flows_h = _pool2(flows) * 0.5 - 0.25
+        warped_h = _flow_warp_multi_impl(image_h, flows_h, border,
+                                         gather_dtype)
+        return s2d_encode_upsample2x(warped_h)
+    return _stack_warp_multi_s2d_full(image, flows, border, gather_dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _stack_warp_multi_s2d_full(image, flows, border, gather_dtype=None):
+    from flownet2_tf_tpu.ops.sampling import _pack_table
+
+    n, h, w, c = image.shape
+    h2, w2 = h // 2, w // 2
+    m = flows.shape[0]
+    if not jnp.issubdtype(image.dtype, jnp.floating):
+        image = image.astype(jnp.float32)
+    flat = _pack_table(image, gather_dtype)
+    outs = [
+        _s2d_warp_one(
+            flat,
+            lambda q: _phase_uv_full(flows[j : j + 1], q),
+            h, w, c, border, h2, w2,
+        )
+        for j in range(m)
+    ]
+    return outs[0] if m == 1 else jnp.concatenate(outs, axis=0)
+
+
 def stack_warp(image, flow, border: str = "clamp", gather_dtype=None):
     """The warp used at STACK boundaries (second-stage inputs, fusion
     branches): full-res flow_warp, or the half-res approximation when

@@ -171,7 +171,7 @@ def test_average_endpoint_error_reference_normalization():
 # Space-to-depth head equivalence (models/common.py S2D section)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("name", ["s", "c", "sd", "2"])
+@pytest.mark.parametrize("name", ["s", "c", "cs", "css", "sd", "2"])
 def test_s2d_heads_match_plain_path(rng, name, monkeypatch):
     """The S2D perf transform must be numerically equivalent to the
     plain convs (same multiply-adds, reassociated): flows agree to
@@ -282,3 +282,19 @@ def test_f32_features_precision_override():
     with pytest.raises(ValueError):
         with dispatch.use_f32_features_precision("bogus"):
             model.apply(params, inputs)
+
+
+def test_stage_flow_s2d_matches_fold(rng):
+    """The analytic S2D stage flow (resize2x + phase-average encode)
+    equals the fold of the materialized resize4x flow: dyadic TF1
+    align_corners=False resizes compose exactly on the PL interpolant."""
+    from flownet2_tf_tpu.models import stacks
+    from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
+
+    f2 = jnp.asarray((rng.rand(2, 8, 12, 2) * 2 - 1).astype(np.float32))
+    got = np.asarray(stacks._stage_flow_s2d({"predict_flow2": f2}, 32, 48))
+    want = np.asarray(
+        common.space_to_depth(resize_bilinear_tf1(f2 * 20.0, 32, 48))
+    )
+    assert got.shape == (2, 16, 24, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -407,3 +407,78 @@ def test_flow_warp_half_differentiable(rng):
     g_flo = jax.grad(lambda fl: fw.flow_warp_half(img, fl).sum())(flo)
     assert np.all(np.isfinite(np.asarray(g_img)))
     assert np.all(np.isfinite(np.asarray(g_flo)))
+
+
+# ---------------------------------------------------------------------------
+# S2D (phase-major) stack warps — the r3 stage-2 assembly primitives
+# ---------------------------------------------------------------------------
+
+def test_stack_warp_s2d_matches_folded_full_res(rng):
+    """stack_warp_s2d == space_to_depth(stack_warp): the phase reorder
+    lives in the gather's index values, so the outputs must agree
+    exactly (same taps, same lerp)."""
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+    from flownet2_tf_tpu.models import common
+
+    img = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32))
+    flo = jnp.asarray((rng.rand(2, 16, 24, 2) * 5 - 2.5).astype(np.float32))
+
+    got = np.asarray(fw.stack_warp_s2d(img, flo))
+    want = np.asarray(common.space_to_depth(fw.stack_warp(img, flo)))
+    assert got.shape == (2, 8, 12, 12)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_stack_warp_multi_s2d_matches_folded(rng):
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+    from flownet2_tf_tpu.models import common
+
+    img = jnp.asarray(rng.rand(1, 16, 24, 3).astype(np.float32))
+    flows = jnp.asarray((rng.rand(2, 16, 24, 2) * 3 - 1.5).astype(np.float32))
+
+    got = np.asarray(fw.stack_warp_multi_s2d(img, flows))
+    want = np.asarray(common.space_to_depth(fw.stack_warp_multi(img, flows)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_stack_warp_s2d_half_res_mode(rng):
+    """In half-res mode the S2D stack warp equals the fold of the
+    plain half-res warp to float-rounding level (the upsample phases
+    are computed analytically instead of resize-then-fold)."""
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+    from flownet2_tf_tpu.models import common
+    from flownet2_tf_tpu.ops import dispatch
+
+    img = jnp.asarray(rng.rand(1, 16, 24, 3).astype(np.float32))
+    flo = jnp.asarray((rng.rand(1, 16, 24, 2) * 3 - 1.5).astype(np.float32))
+
+    with dispatch.use_half_res_warp(True):
+        got = np.asarray(fw.stack_warp_s2d(img, flo))
+        want = np.asarray(common.space_to_depth(fw.stack_warp(img, flo)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_s2d_encode_upsample2x_matches_resize_fold(rng):
+    from flownet2_tf_tpu.models import common
+    from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
+
+    x = jnp.asarray(rng.rand(2, 7, 9, 3).astype(np.float32))
+    got = np.asarray(common.s2d_encode_upsample2x(x))
+    want = np.asarray(
+        common.space_to_depth(resize_bilinear_tf1(x, 14, 18))
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_channel_norm_s2d_matches_full_res(rng):
+    from flownet2_tf_tpu.models import common
+
+    x = jnp.asarray(rng.rand(2, 8, 10, 3).astype(np.float32))
+    got = np.asarray(common.channel_norm_s2d(common.space_to_depth(x)))
+    want = np.asarray(
+        common.space_to_depth(common.channel_norm(x))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
