@@ -111,6 +111,44 @@ def deconv_params(key, cin, cout, k=4, dtype=jnp.float32):
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
+# Layer-name markers of the act=False f32 policy below: flow heads,
+# flow upsamplers, and the unactivated interconv refinements.
+_F32_LAYER_MARKERS = ("predict_flow", "upsample_flow", "interconv")
+
+
+def cast_params_for_inference(params, compute_dtype=None):
+    """Pre-cast feature-conv params to the bf16 compute dtype (serving).
+
+    Under the bf16 policy every act=True conv casts its weights/biases
+    to bf16 AT TRACE TIME (``_conv_io_dtypes``), so XLA re-executes the
+    f32->bf16 converts — and streams the f32 master copies from HBM —
+    on every forward call. For inference the cast can happen once, on
+    the host: bitwise-identical outputs (bf16(x) == bf16(bf16(x)), and
+    the S2D weight transforms are pure data movement), half the weight
+    HBM traffic, no per-call converts. Flow heads / upsamplers /
+    interconvs (the act=False layers, which compute in f32) keep f32.
+
+    Training keeps full-precision masters; this is inference-only.
+    """
+    import jax.numpy as _jnp
+
+    cd = _jnp.bfloat16 if compute_dtype is None else compute_dtype
+
+    def rec(d, in_f32_layer=False):
+        out = {}
+        for k, v in d.items():
+            f32_layer = in_f32_layer or any(
+                m in k for m in _F32_LAYER_MARKERS
+            )
+            if isinstance(v, dict):
+                out[k] = rec(v, f32_layer)
+            else:
+                out[k] = v if f32_layer else v.astype(cd)
+        return out
+
+    return rec(params)
+
+
 def _conv_io_dtypes(compute_dtype, act):
     """Mixed-precision policy per layer kind.
 
@@ -261,12 +299,13 @@ def space_to_depth(x):
     Channel order is phase-major (qy, qx, c) — the weight transforms
     below assume it.
 
-    Lowering is selected by FLOWNET2_TPU_S2D_FOLD: ``transpose``
-    (reshape/6-D transpose/reshape, the default) or ``conv`` (a
-    stride-2 2x2 identity conv — exact, every output element is
-    1.0*x + zeros — which routes the relayout through XLA's conv
-    emitter instead of explicit copy ops). The A/B lives in
-    benchmarks/s2d_experiments.py.
+    Lowering is selected by FLOWNET2_TPU_S2D_FOLD: ``conv`` (default —
+    a stride-2 2x2 identity conv; exact, every output element is
+    1.0*x + zeros, routed through XLA's conv emitter) or ``transpose``
+    (reshape/6-D transpose/reshape). Measured end-to-end in FlowNet2
+    448x1024 b1 bf16 (benchmarks/s2d_impl_ab.py, v5e): conv 21.7
+    ms/pair vs transpose 23.7/23.8 — the conv emitter eliminates the
+    fold's explicit relayout copies.
     """
     if _S2D_FOLD == "conv":
         return _space_to_depth_conv(x)
@@ -276,7 +315,7 @@ def space_to_depth(x):
     return x.reshape(n, h // 2, w // 2, 4 * c)
 
 
-_S2D_FOLD = _os.environ.get("FLOWNET2_TPU_S2D_FOLD", "transpose")
+_S2D_FOLD = _os.environ.get("FLOWNET2_TPU_S2D_FOLD", "conv")
 
 
 def _s2d_fold_kernel(c, dtype):

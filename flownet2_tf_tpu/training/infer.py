@@ -76,6 +76,10 @@ def test_pair(model_name, checkpoint, input_a_path, input_b_path, out_dir,
     Returns the predicted (H, W, 2) flow.
     """
     params = load_params(checkpoint)
+    if str(compute_dtype) == "bfloat16":
+        from flownet2_tf_tpu.models.common import cast_params_for_inference
+
+        params = cast_params_for_inference(params)
     a, b = load_image_pair(input_a_path, input_b_path)
     flow = infer_flow(model_name, params, a, b, compute_dtype=compute_dtype)
     os.makedirs(out_dir, exist_ok=True)
@@ -164,6 +168,13 @@ def evaluate_dataset(model_name, params, dataset, compute_dtype="float32",
     mixed-size datasets compile O(buckets) times.
     """
     n = len(dataset) if limit is None else min(limit, len(dataset))
+    if str(compute_dtype) == "bfloat16":
+        # serving-mode pre-cast, ONCE before the eval loop: bitwise-
+        # identical bf16 forward, no per-call weight converts/uploads
+        # (common.cast_params_for_inference)
+        from flownet2_tf_tpu.models.common import cast_params_for_inference
+
+        params = cast_params_for_inference(params)
     aee_sum = 0.0
     for i in range(n):
         batch = _bucket_batch(dataset[i])

@@ -298,3 +298,30 @@ def test_stage_flow_s2d_matches_fold(rng):
     )
     assert got.shape == (2, 16, 24, 8)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["s", "2"])
+def test_cast_params_for_inference_bitwise(rng, name):
+    """Serving-mode pre-cast params produce the BITWISE-identical bf16
+    forward: every act=True conv casts weights to bf16 at trace time
+    anyway (bf16(x) == bf16(bf16(x))), and the act=False f32 layers are
+    left untouched by the cast."""
+    m = get_model(name)
+    p = m.init(jax.random.PRNGKey(1))
+    pc = common.cast_params_for_inference(p)
+    # flow heads / upsamplers / interconvs stay f32
+    flat = jax.tree_util.tree_leaves_with_path(pc)
+    for path, leaf in flat:
+        names = "/".join(getattr(k, "key", str(k)) for k in path)
+        if any(mk in names for mk in ("predict_flow", "upsample_flow",
+                                      "interconv")):
+            assert leaf.dtype == jnp.float32, names
+        else:
+            assert leaf.dtype == jnp.bfloat16, names
+    inputs = {
+        "input_a": jnp.asarray(rng.rand(1, 128, 192, 3).astype(np.float32)),
+        "input_b": jnp.asarray(rng.rand(1, 128, 192, 3).astype(np.float32)),
+    }
+    got = m.apply(pc, inputs, compute_dtype=jnp.bfloat16)["flow"]
+    want = m.apply(p, inputs, compute_dtype=jnp.bfloat16)["flow"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
