@@ -41,27 +41,50 @@ def _tile_plan(height: int, n_tiles: int, overlap: int, multiple: int = 64):
 
 
 def extract_tiles(image, n_tiles: int, overlap: int):
-    """(1, H, W, C) -> (n_tiles, core + 2*overlap, W, C) with edge-padded
-    halos; returns (tiles, core, H)."""
+    """(1, H, W, C) -> (n_tiles, core + 2*overlap, W, C) with
+    INTERIOR-CLAMPED halo windows; returns (tiles, core, offsets, H).
+
+    Band i's core rows are [i*core, (i+1)*core); its window is the core
+    extended by ``overlap`` on both sides, then SHIFTED inward so it
+    stays inside the (bottom-padded) frame. Frame-edge bands therefore
+    fill their halos with REAL image rows instead of edge-replicated
+    padding — measured on a trained FlowNetS, replicated halos made the
+    whole-frame delta GROW with overlap (0.46 -> 0.65 px mean from
+    ov32 -> ov128, benchmarks/results.json::spatial_seam r3: the
+    encoder's global context sees up to 25% fake imagery), while
+    clamped windows converge to the untiled result as overlap grows
+    (n=2 at ov=H/4 becomes exact). Only the %64-divisibility pad at the
+    bottom remains synthetic. ``offsets[i]`` is the core's row offset
+    inside band i's window (for stitch_tiles)."""
     _, h, w, c = image.shape
     core, padded_h = _tile_plan(h, n_tiles, overlap)
+    tile_h = core + 2 * overlap
     image = jnp.pad(
         image,
-        ((0, 0), (overlap, overlap + padded_h - h), (0, 0), (0, 0)),
+        ((0, 0), (0, padded_h - h), (0, 0), (0, 0)),
         mode="edge",
     )
-    tiles = [
-        image[0, i * core : i * core + core + 2 * overlap]
-        for i in range(n_tiles)
-    ]
-    return jnp.stack(tiles, axis=0), core, h
+    if tile_h >= padded_h:
+        starts = [0] * n_tiles
+        tile_h = padded_h
+    else:
+        starts = [
+            min(max(i * core - overlap, 0), padded_h - tile_h)
+            for i in range(n_tiles)
+        ]
+    tiles = [image[0, s : s + tile_h] for s in starts]
+    offsets = [i * core - s for i, s in enumerate(starts)]
+    return jnp.stack(tiles, axis=0), core, offsets, h
 
 
-def stitch_tiles(tile_out, core: int, overlap: int, height: int):
-    """(n_tiles, tile_h, W, C) -> (1, H, W, C), keeping band cores."""
-    kept = tile_out[:, overlap : overlap + core]
-    n, _, w, c = kept.shape
-    return kept.reshape(1, n * core, w, c)[:, :height]
+def stitch_tiles(tile_out, core: int, offsets, height: int):
+    """(n_tiles, tile_h, W, C) -> (1, H, W, C), keeping band cores at
+    their per-band ``offsets`` (from extract_tiles)."""
+    kept = jnp.concatenate(
+        [tile_out[i, off : off + core] for i, off in enumerate(offsets)],
+        axis=0,
+    )
+    return kept[None, :height]
 
 
 def infer_flow_spatial(model_name, params, image_a, image_b,
@@ -89,8 +112,8 @@ def infer_flow_spatial(model_name, params, image_a, image_b,
             f"{a.shape[2]}; edge-pad with training.infer.pad_to_multiple"
             " and crop the flow back"
         )
-    tiles_a, core, h = extract_tiles(a, n_tiles, overlap)
-    tiles_b, _, _ = extract_tiles(b, n_tiles, overlap)
+    tiles_a, core, offsets, h = extract_tiles(a, n_tiles, overlap)
+    tiles_b, _, _, _ = extract_tiles(b, n_tiles, overlap)
 
     # bands ride the DP batch axis: one band per device
     band_mesh = mesh_lib.mesh_for_batch(n_tiles, mesh)
@@ -101,7 +124,7 @@ def infer_flow_spatial(model_name, params, image_a, image_b,
     flow_tiles = _forward_tiles(
         model_name, params, tiles_a, tiles_b, str(compute_dtype)
     )
-    flow = stitch_tiles(flow_tiles, core, overlap, h)
+    flow = stitch_tiles(flow_tiles, core, offsets, h)
     return np.asarray(flow)[0]
 
 

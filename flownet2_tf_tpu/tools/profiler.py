@@ -116,6 +116,11 @@ def trace_model(model_name="2", height=448, width=1024, batch=1, iters=3,
     m = get_model(model_name)
     params = m.init(jax.random.PRNGKey(0))
     cd = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+    if cd is not None:
+        # match the serving/bench configuration (pre-cast params)
+        from flownet2_tf_tpu.models.common import cast_params_for_inference
+
+        params = cast_params_for_inference(params, cd)
 
     @jax.jit
     def fwd(params, a, b):

@@ -14,10 +14,26 @@ from flownet2_tf_tpu.training.infer import infer_flow
 
 def test_tile_extract_stitch_roundtrip(rng):
     x = jnp.asarray(rng.rand(1, 200, 64, 3).astype(np.float32))
-    tiles, core, h = spatial.extract_tiles(x, n_tiles=2, overlap=32)
+    tiles, core, offsets, h = spatial.extract_tiles(x, n_tiles=2, overlap=32)
     assert tiles.shape == (2, core + 64, 64, 3)
-    back = spatial.stitch_tiles(tiles, core, 32, h)
+    back = spatial.stitch_tiles(tiles, core, offsets, h)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+def test_tile_halos_are_real_rows(rng):
+    """Interior-clamped windows: every halo row must be a real frame row
+    (shifted inward at frame edges), never edge-replicated fake content —
+    replicated halos made seam error GROW with overlap on trained
+    weights (benchmarks/results.json::spatial_seam)."""
+    x = jnp.asarray(rng.rand(1, 384, 64, 3).astype(np.float32))
+    tiles, core, offsets, h = spatial.extract_tiles(x, n_tiles=2, overlap=64)
+    xnp = np.asarray(x)[0]
+    tnp = np.asarray(tiles)
+    for i, off in enumerate(offsets):
+        start = i * core - off
+        np.testing.assert_array_equal(
+            tnp[i], xnp[start : start + tnp.shape[1]]
+        )
 
 
 def test_single_tile_matches_full_inference(rng):
@@ -29,11 +45,12 @@ def test_single_tile_matches_full_inference(rng):
         "s", params, item["image_a"], item["image_b"],
         n_tiles=1, overlap=32,
     )
-    # n=1: the single band is the whole (edge-padded) image; the halo
-    # only adds replicated context at the outer border
+    # n=1 with interior-clamped windows: the band IS the whole frame
+    # (no replicated halo rows any more), so tiling must be exact up
+    # to batch-shape compilation differences
     assert tiled.shape == full.shape
-    delta = np.abs(tiled[40:-40] - full[40:-40]).mean()
-    assert delta < 0.2, delta
+    delta = np.abs(tiled - full).mean()
+    assert delta < 1e-3, delta
 
 
 def test_two_tiles_shape_and_bands_shard(rng):
@@ -52,6 +69,24 @@ def test_two_tiles_shape_and_bands_shard(rng):
     # differs by design (approximation decaying with overlap)
     band_interior = np.abs(tiled[32:96] - full[32:96]).mean()
     assert band_interior < 1.0, band_interior
+
+
+def test_large_overlap_converges_to_untiled(rng):
+    """When overlap grows until each band's clamped window spans the
+    whole frame, tiled inference must MATCH untiled inference — the
+    convergence property that edge-replicated halos broke on trained
+    weights (frame delta grew 0.46->0.65 px with overlap; clamped
+    windows measured exact at n=2 ov=H/4, results.json::spatial_seam)."""
+    params = get_model("s").init(jax.random.PRNGKey(0))
+    ds = SyntheticFlowDataset(size=1, height=128, width=64, seed=3)
+    item = ds[0]
+    full = infer_flow("s", params, item["image_a"], item["image_b"])
+    tiled = spatial.infer_flow_spatial(
+        "s", params, item["image_a"], item["image_b"],
+        n_tiles=2, overlap=64,  # window = core+2*ov = 192 > H -> whole frame
+    )
+    delta = np.abs(tiled - full).mean()
+    assert delta < 1e-3, delta
 
 
 def test_overlap_validation():
