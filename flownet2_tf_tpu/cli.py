@@ -283,6 +283,7 @@ def cmd_profile(args):
         iters=args.iters,
         compute_dtype=args.compute_dtype,
         trace_dir=args.trace_dir,
+        warp_mode=args.warp_mode,
     )
     profiler.print_summary(trace_dir, top=args.top)
     print(json.dumps({"trace_dir": trace_dir}))
@@ -432,6 +433,9 @@ def build_parser():
     p.add_argument("--trace_dir", default="/tmp/flownet2_trace")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--warp_mode", default="full", choices=["full", "half"],
+                   help="'half' profiles the serving preset "
+                        "(half-res stack warps)")
     p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("convert", help="TF1 checkpoint -> .npz")

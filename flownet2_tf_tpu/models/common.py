@@ -70,14 +70,31 @@ def check_divisible_by_64(h: int, w: int):
         )
 
 
+def _safe_sqrt(s):
+    """sqrt with a finite (zero) gradient at s == 0, forward-exact.
+
+    d/ds sqrt(s) -> inf at 0, and the stacked nets hit EXACT zeros
+    there: at random init the *0.05-scaled stage flows quantize to 0.0
+    in bf16 over large regions, making flow magnitude and brightness
+    error (warped == input bitwise) exactly zero — a single
+    value_and_grad through an UNFROZEN stack then returns inf/NaN
+    weight grads (measured on TPU at 320x448 b8; the curriculum's
+    frozen stages masked this because AD never entered the norms).
+    Standard double-where: both branches are evaluated under AD, so
+    the guarded operand must be nonzero BEFORE sqrt."""
+    safe = jnp.where(s == 0, jnp.ones_like(s), s)
+    return jnp.where(s == 0, jnp.zeros_like(s), jnp.sqrt(safe))
+
+
 def channel_norm(x):
     """Per-pixel L2 norm across channels, keepdims -> (..., 1).
 
     Used for brightness error / flow magnitude in the stacked nets
     (reference ``src/flownet_cs/flownet_cs.py``, ``src/flownet2/
-    flownet2.py``).
+    flownet2.py``). Forward identical to sqrt(sum(x^2)); gradient
+    guarded at exact zeros (see _safe_sqrt).
     """
-    return jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+    return _safe_sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
 
 
 # ---------------------------------------------------------------------------
@@ -132,13 +149,20 @@ def cast_params_for_inference(params, compute_dtype=None):
     """
     import jax.numpy as _jnp
 
+    from flownet2_tf_tpu.ops import dispatch as _dispatch
+
     cd = _jnp.bfloat16 if compute_dtype is None else compute_dtype
+    markers = _F32_LAYER_MARKERS
+    if _dispatch.get_bf16_interconv():
+        # serving preset: interconvs follow the bf16 policy, so their
+        # weights pre-cast too (see dispatch.get_bf16_interconv)
+        markers = tuple(m for m in markers if m != "interconv")
 
     def rec(d, in_f32_layer=False):
         out = {}
         for k, v in d.items():
             f32_layer = in_f32_layer or any(
-                m in k for m in _F32_LAYER_MARKERS
+                m in k for m in markers
             )
             if isinstance(v, dict):
                 out[k] = rec(v, f32_layer)
@@ -149,7 +173,7 @@ def cast_params_for_inference(params, compute_dtype=None):
     return rec(params)
 
 
-def _conv_io_dtypes(compute_dtype, act):
+def _conv_io_dtypes(compute_dtype, act, interconv: bool = False):
     """Mixed-precision policy per layer kind.
 
     * feature layers (act=True) under a bf16 policy: bf16 in / bf16 out
@@ -175,17 +199,25 @@ def _conv_io_dtypes(compute_dtype, act):
             return jnp.float32, lax.Precision.DEFAULT
         return jnp.float32, lax.Precision.HIGHEST
     if not act:
+        if interconv:
+            from flownet2_tf_tpu.ops import dispatch
+
+            if dispatch.get_bf16_interconv():
+                # interconvs are feature-scale (SD interconv5 is
+                # 1026->512); under the serving preset they follow the
+                # bf16 policy — their flow head stays f32 regardless
+                return compute_dtype, lax.Precision.DEFAULT
         return jnp.float32, lax.Precision.DEFAULT
     return compute_dtype, lax.Precision.DEFAULT
 
 
 def conv(p, x, stride: int = 1, act: bool = True,
-         compute_dtype=None):
+         compute_dtype=None, interconv: bool = False):
     """Caffe-padded conv + optional LeakyReLU (see _conv_io_dtypes)."""
     w = p["weights"]
     k = w.shape[0]
     pad = (k - 1) // 2
-    io_dtype, precision = _conv_io_dtypes(compute_dtype, act)
+    io_dtype, precision = _conv_io_dtypes(compute_dtype, act, interconv)
     y = lax.conv_general_dilated(
         x.astype(io_dtype),
         w.astype(io_dtype),
@@ -433,7 +465,7 @@ def deconv_s2d(p, x, act: bool = True, compute_dtype=None):
 
 
 def conv3x3s1_s2d(p, x, in_splits=None, act: bool = True,
-                  compute_dtype=None):
+                  compute_dtype=None, interconv: bool = False):
     """Drop-in for a full-res 3x3/1 ``conv`` on an S2D-encoded input,
     returning the S2D-encoded output.
 
@@ -445,7 +477,7 @@ def conv3x3s1_s2d(p, x, in_splits=None, act: bool = True,
     w = p["weights"]
     if in_splits is None:
         in_splits = (w.shape[2],)
-    io_dtype, precision = _conv_io_dtypes(compute_dtype, act)
+    io_dtype, precision = _conv_io_dtypes(compute_dtype, act, interconv)
     parts = []
     off = 0
     for s in in_splits:
@@ -515,7 +547,7 @@ def channel_norm_s2d(x):
     c = c4 // 4
     return jnp.concatenate(
         [
-            jnp.sqrt(
+            _safe_sqrt(
                 jnp.sum(
                     jnp.square(x[..., q * c : (q + 1) * c]),
                     axis=-1,

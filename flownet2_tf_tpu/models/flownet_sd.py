@@ -112,7 +112,8 @@ def apply(params, inputs, training: bool = False, compute_dtype=None):
             [skip, up_feat, up_flow.astype(skip.dtype)], axis=-1
         )
         inter = common.conv(
-            params[f"interconv{lvl}"], x, act=False, compute_dtype=cd
+            params[f"interconv{lvl}"], x, act=False, compute_dtype=cd,
+            interconv=True,
         )
         flow = common.predict_flow(
             params[f"predict_flow{lvl}"], inter, compute_dtype=cd

@@ -402,7 +402,8 @@ def apply_flownet2(params, inputs, training: bool = False,
          up_flow1.astype(acts["fuse_conv1_1"].dtype)], axis=-1
     )
     inter1 = common.conv(
-        params["fuse_interconv1"], concat1, act=False, compute_dtype=cd
+        params["fuse_interconv1"], concat1, act=False, compute_dtype=cd,
+        interconv=True,
     )
     flow1 = common.predict_flow(params["predict_flow1"], inter1,
                                 compute_dtype=cd)
@@ -425,7 +426,7 @@ def apply_flownet2(params, inputs, training: bool = False,
         )
         inter0 = common.conv3x3s1_s2d(
             params["fuse_interconv0"], concat0, in_splits=(64, 16, 2),
-            act=False, compute_dtype=cd,
+            act=False, compute_dtype=cd, interconv=True,
         )
         flow0 = common.depth_to_space(
             common.conv3x3s1_s2d(
@@ -445,7 +446,8 @@ def apply_flownet2(params, inputs, training: bool = False,
              up_flow0.astype(acts["fuse_conv0"].dtype)], axis=-1
         )
         inter0 = common.conv(
-            params["fuse_interconv0"], concat0, act=False, compute_dtype=cd
+            params["fuse_interconv0"], concat0, act=False, compute_dtype=cd,
+            interconv=True,
         )
         flow0 = common.predict_flow(params["predict_flow0"], inter0,
                                     compute_dtype=cd)

@@ -118,6 +118,36 @@ def use_f32_features_precision(mode: str):
         _state.f32_features_precision = prev
 
 
+def get_bf16_interconv() -> bool:
+    """Whether UNACTIVATED interconv refinement layers (FlowNetSD
+    interconv5..2, fusion fuse_interconv1/0) follow the bf16 compute
+    policy instead of the f32 flow-head treatment.
+
+    The f32-head policy exists because flow VALUES need precision, and
+    heads are 2-channel so the cost is nil — but the interconvs are
+    FEATURE-scale (SD interconv5 is 1026->512: an 18.9 MB f32 weight
+    streamed per forward, the single largest async copy in the r3
+    serving profile). Their output feeds a flow head that stays f32
+    either way. Default off (exact path); the serving preset enables
+    it (measured speed/accuracy trade in docs/DESIGN.md)."""
+    flag = getattr(_state, "bf16_interconv", None)
+    if flag is None:
+        return os.environ.get("FLOWNET2_TPU_BF16_INTERCONV", "0") == "1"
+    return bool(flag)
+
+
+@contextlib.contextmanager
+def use_bf16_interconv(enabled):
+    """Force bf16 interconvs on/off (or None = env default) for model
+    traces on this thread."""
+    prev = getattr(_state, "bf16_interconv", None)
+    _state.bf16_interconv = enabled
+    try:
+        yield
+    finally:
+        _state.bf16_interconv = prev
+
+
 def get_half_res_warp():
     """Thread-local override for half-resolution warping: None (use the
     ``FLOWNET2_TPU_HALF_RES_WARP`` env default in ``ops.flow_warp``),
@@ -135,6 +165,30 @@ def use_half_res_warp(enabled):
         yield
     finally:
         _state.half_res_warp = prev
+
+
+def trace_signature() -> tuple:
+    """Hashable snapshot of every dispatch knob that shapes a model
+    trace.
+
+    Model code reads these thread-locals/envs AT TRACE TIME, so any
+    long-lived ``jax.jit`` wrapper around ``model.apply`` (the library
+    inference/eval/spatial entry points) must include this tuple as a
+    static argument — otherwise a call under a different
+    ``use_half_res_warp``/``use_implementation``/... context silently
+    hits the cache entry traced under the OLD configuration."""
+    from flownet2_tf_tpu.ops.flow_warp import half_res_warp_enabled
+    from flownet2_tf_tpu.models import common as _common
+
+    return (
+        get_implementation(),
+        _common.s2d_heads(),
+        _common.S2D_HEAD7 if get_s2d_override() is None
+        else ("override", bool(get_s2d_override())),
+        get_f32_features_precision(),
+        half_res_warp_enabled(),
+        get_bf16_interconv(),
+    )
 
 
 def backend_is_tpu() -> bool:

@@ -121,15 +121,20 @@ def infer_flow_spatial(model_name, params, image_a, image_b,
     tiles_a = jax.device_put(tiles_a, sharding)
     tiles_b = jax.device_put(tiles_b, sharding)
 
+    from flownet2_tf_tpu.ops import dispatch
+
     flow_tiles = _forward_tiles(
-        model_name, params, tiles_a, tiles_b, str(compute_dtype)
+        model_name, params, tiles_a, tiles_b, str(compute_dtype),
+        dispatch.trace_signature(),
     )
     flow = stitch_tiles(flow_tiles, core, offsets, h)
     return np.asarray(flow)[0]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
-def _forward_tiles(model_name, params, tiles_a, tiles_b, dtype_name):
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _forward_tiles(model_name, params, tiles_a, tiles_b, dtype_name,
+                   dispatch_sig=None):
+    # dispatch_sig: part of the cache key — see ops.dispatch.trace_signature
     model = get_model(model_name)
     cd = jnp.bfloat16 if dtype_name == "bfloat16" else None
     preds = model.apply(

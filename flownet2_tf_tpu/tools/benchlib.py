@@ -144,8 +144,15 @@ def cost_analysis(fn, *args):
 
 def train_step_ms(model_name="s", batch=8, height=320, width=448,
                   compute_dtype="bfloat16", iters=8, augment=False,
-                  remat=False):
-    """Marginal per-step time of the full jitted DP train step."""
+                  remat=False, frozen=None, stop_grad_frozen=None,
+                  lr=1e-4):
+    """Marginal per-step time of the full jitted DP train step.
+
+    ``frozen``/``stop_grad_frozen``: forwarded to TrainConfig when not
+    None (None keeps the model/config defaults). ``lr``: bench
+    schedule's learning rate — drop it for configurations that diverge
+    from random init inside the timing scan (a NaN loss fails the
+    finiteness check; e.g. FlowNet2 with ALL stages unfrozen)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -159,7 +166,7 @@ def train_step_ms(model_name="s", batch=8, height=320, width=448,
         schedule={
             "name": "bench",
             "step_values": [10**9],
-            "learning_rates": [1e-4, 1e-4],
+            "learning_rates": [lr, lr],
             "momentum": 0.9,
             "momentum2": 0.999,
             "weight_decay": 4e-4,
@@ -171,6 +178,9 @@ def train_step_ms(model_name="s", batch=8, height=320, width=448,
         tensorboard=False,
         checkpoint_every=0,
         remat=remat,
+        **({} if frozen is None else {"frozen": frozen}),
+        **({} if stop_grad_frozen is None
+           else {"stop_grad_frozen": stop_grad_frozen}),
     )
     trainer = Trainer(cfg)
     state = trainer.init_state()

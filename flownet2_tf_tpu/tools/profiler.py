@@ -105,13 +105,24 @@ def latest_xplane(trace_dir):
 
 
 def trace_model(model_name="2", height=448, width=1024, batch=1, iters=3,
-                compute_dtype="bfloat16", trace_dir="/tmp/flownet2_trace"):
-    """Run + trace N forwards; returns the trace directory."""
+                compute_dtype="bfloat16", trace_dir="/tmp/flownet2_trace",
+                warp_mode="full"):
+    """Run + trace N forwards; returns the trace directory.
+
+    ``warp_mode="half"`` profiles the serving preset (half-res stack
+    warps, docs/DESIGN.md) instead of the exact-warp path."""
+    import contextlib
+
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     from flownet2_tf_tpu.models.registry import get_model
+    from flownet2_tf_tpu.ops import dispatch
+
+    stack = contextlib.ExitStack()
+    if warp_mode == "half":
+        stack.enter_context(dispatch.use_half_res_warp(True))
 
     m = get_model(model_name)
     params = m.init(jax.random.PRNGKey(0))
@@ -134,6 +145,7 @@ def trace_model(model_name="2", height=448, width=1024, batch=1, iters=3,
     with jax.profiler.trace(trace_dir):
         for _ in range(iters):
             float(fwd(params, a, b))
+    stack.close()
     return trace_dir
 
 

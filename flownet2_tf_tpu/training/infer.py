@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flownet2_tf_tpu.models.registry import get_model
+from flownet2_tf_tpu.ops import dispatch
 from flownet2_tf_tpu.training.warmstart import load_params_tree
 from flownet2_tf_tpu.utils import flowlib
 from flownet2_tf_tpu.utils.image_io import load_image_pair
@@ -38,8 +39,13 @@ def pad_to_multiple(x, multiple=64):
     return x, h, w
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _forward(model_name, params, inputs, compute_dtype_name):
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _forward(model_name, params, inputs, compute_dtype_name,
+             dispatch_sig=None):
+    # dispatch_sig: ops.dispatch.trace_signature() — part of the cache
+    # key because the model trace bakes in the thread-local dispatch
+    # knobs (half-res warps, kernel impl, ...); without it a call under
+    # a new dispatch context would silently reuse the old trace
     model = get_model(model_name)
     cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else None
     a, h, w = pad_to_multiple(inputs["input_a"])
@@ -63,7 +69,7 @@ def infer_flow(model_name, params, image_a, image_b,
         a, b = a[None], b[None]
     flow = _forward(
         model_name, params, {"input_a": a, "input_b": b},
-        str(compute_dtype),
+        str(compute_dtype), dispatch.trace_signature(),
     )
     flow = np.asarray(flow)
     return flow[0] if squeeze else flow
@@ -101,8 +107,9 @@ def test_pair(model_name, checkpoint, input_a_path, input_b_path, out_dir,
 _EVAL_TRACE_COUNT = 0
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _aee_on_device(model_name, params, batch, compute_dtype_name):
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _aee_on_device(model_name, params, batch, compute_dtype_name,
+                   dispatch_sig=None):
     """Forward + masked AEE fully on device; only a scalar pair leaves.
 
     Critical under the axon tunnel (bulk device->host fetches are
@@ -179,7 +186,8 @@ def evaluate_dataset(model_name, params, dataset, compute_dtype="float32",
     for i in range(n):
         batch = _bucket_batch(dataset[i])
         total, count = _aee_on_device(
-            model_name, params, batch, str(compute_dtype)
+            model_name, params, batch, str(compute_dtype),
+            dispatch.trace_signature(),
         )
         aee = float(total) / max(float(count), 1.0)
         aee_sum += aee

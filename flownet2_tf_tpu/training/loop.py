@@ -109,6 +109,14 @@ class TrainConfig:
     # trades ~1/3 more FLOPs for large activation-memory savings — needed
     # for the deep stacked models (CSS/FlowNet2) at big crops/batches.
     remat: bool = False
+    # wrap frozen sub-scopes' params in lax.stop_gradient INSIDE the
+    # loss, so AD never builds their backward pass. Numerically
+    # identical to the post-hoc gradient zeroing (the frozen leaves'
+    # grads are exactly zero either way, and l2_regularization already
+    # excludes frozen scopes) — but XLA does NOT reliably dead-code-
+    # eliminate the zeroed backward (measured: benchmarks/
+    # frozen_backward_ab.py), so this is the one that saves the compute.
+    stop_grad_frozen: bool = True
     # periodic validation: every N steps evaluate AEE on eval batches
     eval_every: int = 0
     eval_batches: int = 4
@@ -241,7 +249,18 @@ class Trainer:
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )
 
+        stop_grad_frozen = bool(
+            getattr(self.config, "stop_grad_frozen", False)
+        )
+
         def loss_fn(params, batch, key):
+            if stop_grad_frozen and frozen:
+                params = dict(params)
+                for name in frozen:
+                    if name in params:
+                        params[name] = jax.tree_util.tree_map(
+                            jax.lax.stop_gradient, params[name]
+                        )
             image_a = _images_to_float(batch["image_a"])
             image_b = _images_to_float(batch["image_b"])
             flow = batch["flow"]

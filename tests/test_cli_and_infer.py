@@ -58,6 +58,26 @@ def test_infer_arbitrary_size(rng):
     assert np.isfinite(flow).all()
 
 
+def test_infer_respects_dispatch_context_after_caching(rng):
+    """infer_flow's jit cache must key on the dispatch knobs: a call
+    under use_half_res_warp(True) AFTER a plain call (same shapes)
+    must not silently reuse the full-res trace. CS warps its stage-1
+    flow, so the two configurations measurably differ."""
+    from flownet2_tf_tpu.ops import dispatch
+
+    params = get_model("cs").init(jax.random.PRNGKey(0))
+    a = rng.rand(64, 64, 3).astype(np.float32)
+    b = rng.rand(64, 64, 3).astype(np.float32)
+    full = infer_flow("cs", params, a, b)  # populates the cache
+    with dispatch.use_half_res_warp(True):
+        half = infer_flow("cs", params, a, b)
+    assert np.abs(full - half).max() > 0, (
+        "half-res context silently reused the full-res trace"
+    )
+    full2 = infer_flow("cs", params, a, b)
+    np.testing.assert_array_equal(full, full2)
+
+
 def test_cli_test_subcommand(tmp_path, rng, capsys):
     pa, pb = _write_ppm_pair(tmp_path, rng)
     ckpt = _save_random_ckpt(tmp_path)

@@ -158,6 +158,32 @@ def test_channel_norm(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_channel_norm_gradient_finite_at_zero(rng):
+    """The norm's gradient must be finite (zero) at exactly-zero
+    pixels: unfrozen-stack training hits them (bf16 stage flows
+    quantize to 0.0 -> flow magnitude / brightness error exactly zero)
+    and an unguarded sqrt returned inf/NaN weight grads (measured on
+    TPU at 320x448 b8 — common._safe_sqrt)."""
+    x = jnp.asarray(rng.randn(1, 4, 4, 3).astype(np.float32))
+    x = x.at[0, :2].set(0.0)  # exact-zero region
+
+    g = jax.grad(lambda v: common.channel_norm(v).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_array_equal(np.asarray(g[0, :2]), 0.0)
+    # nonzero pixels keep the true gradient x/||x||
+    np.testing.assert_allclose(
+        np.asarray(g[0, 3]),
+        np.asarray(x[0, 3] / common.channel_norm(x)[0, 3]),
+        rtol=1e-5,
+    )
+
+    g4 = jax.grad(
+        lambda v: common.channel_norm_s2d(v).sum()
+    )(jnp.zeros((1, 4, 4, 12), jnp.float32))
+    assert np.isfinite(np.asarray(g4)).all()
+    np.testing.assert_array_equal(np.asarray(g4), 0.0)
+
+
 def test_average_endpoint_error_reference_normalization():
     """Sum over pixels, divided by batch (reference utils.py semantics)."""
     gt = jnp.zeros((2, 4, 4, 2))

@@ -238,6 +238,44 @@ def test_zero_frozen_grads_keeps_params_fixed():
     assert not np.allclose(np.asarray(params["B"]["weights"]), 1.0)
 
 
+def test_stop_grad_frozen_matches_zeroed_grads(tmp_path):
+    """stop_grad_frozen (AD never enters frozen stages) must be
+    numerically identical to the post-hoc zeroing path: frozen grads
+    are exactly zero either way and the L2 reg excludes frozen scopes.
+    One CS step with FlowNetC frozen, both modes, same batch/key."""
+    ds = SyntheticFlowDataset(size=2, height=64, width=64, seed=5)
+    batch = {
+        k: np.stack([ds[i][k] for i in range(2)])
+        for k in ("image_a", "image_b", "flow")
+    }
+    results = {}
+    for stop_grad in (False, True):
+        trainer = Trainer(
+            _small_cfg(tmp_path, f"sg{int(stop_grad)}", model="cs",
+                       stop_grad_frozen=stop_grad),
+            mesh=_one_device_mesh(),
+        )
+        assert trainer.frozen == ("FlowNetC",)  # the model default
+        state = trainer.init_state()
+        db = mesh_lib.shard_batch(trainer.mesh, batch)
+        state, metrics = trainer.get_step_fn(None)(
+            state, db, jax.random.PRNGKey(1)
+        )
+        results[stop_grad] = (
+            float(jax.device_get(metrics["loss"])),
+            jax.device_get(state["params"]),
+        )
+    assert results[False][0] == pytest.approx(results[True][0], rel=1e-6)
+    flat0 = jax.tree_util.tree_leaves_with_path(results[False][1])
+    flat1 = jax.tree_util.tree_leaves_with_path(results[True][1])
+    for (p0, l0), (p1, l1) in zip(flat0, flat1):
+        assert p0 == p1
+        np.testing.assert_allclose(
+            np.asarray(l0), np.asarray(l1), rtol=1e-6, atol=1e-8,
+            err_msg=jax.tree_util.keystr(p0),
+        )
+
+
 def test_image_summaries_written(tmp_path):
     import os
 
