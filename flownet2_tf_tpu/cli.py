@@ -180,6 +180,8 @@ def cmd_test(args):
         save_image=not args.no_image,
         save_flo=not args.no_flo,
         compute_dtype=args.compute_dtype,
+        spatial_tiles=args.spatial_tiles,
+        spatial_overlap=args.spatial_overlap,
     )
     print(
         json.dumps(
@@ -383,6 +385,12 @@ def build_parser():
     p.add_argument("--no_flo", action="store_true")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--spatial_tiles", type=int, default=0,
+                   help=">1: halo-banded spatially-parallel inference, "
+                        "one band per mesh device (parallel/spatial.py)")
+    p.add_argument("--spatial_overlap", type=int, default=128,
+                   help="halo rows per band side (multiple of 32); "
+                        "accuracy table in docs/DESIGN.md")
     p.set_defaults(fn=cmd_test)
 
     p = sub.add_parser("eval", help="dataset AEE evaluation")

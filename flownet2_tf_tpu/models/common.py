@@ -70,8 +70,9 @@ def check_divisible_by_64(h: int, w: int):
         )
 
 
+@jax.custom_jvp
 def _safe_sqrt(s):
-    """sqrt with a finite (zero) gradient at s == 0, forward-exact.
+    """sqrt with a finite (zero) derivative at s == 0, forward-exact.
 
     d/ds sqrt(s) -> inf at 0, and the stacked nets hit EXACT zeros
     there: at random init the *0.05-scaled stage flows quantize to 0.0
@@ -80,10 +81,19 @@ def _safe_sqrt(s):
     value_and_grad through an UNFROZEN stack then returns inf/NaN
     weight grads (measured on TPU at 320x448 b8; the curriculum's
     frozen stages masked this because AD never entered the norms).
-    Standard double-where: both branches are evaluated under AD, so
-    the guarded operand must be nonzero BEFORE sqrt."""
-    safe = jnp.where(s == 0, jnp.ones_like(s), s)
-    return jnp.where(s == 0, jnp.zeros_like(s), jnp.sqrt(safe))
+    custom_jvp rather than the double-where trick: the primal stays a
+    bare sqrt (no select chains on full-res tensors) and only the
+    tangent pays one select."""
+    return jnp.sqrt(s)
+
+
+@_safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (s,), (t,) = primals, tangents
+    y = jnp.sqrt(s)
+    dy = jnp.where(s > 0, 0.5 / jnp.maximum(y, jnp.finfo(y.dtype).tiny),
+                   jnp.zeros_like(y))
+    return y, dy * t
 
 
 def channel_norm(x):

@@ -76,9 +76,13 @@ def infer_flow(model_name, params, image_a, image_b,
 
 
 def test_pair(model_name, checkpoint, input_a_path, input_b_path, out_dir,
-              save_image=True, save_flo=True, compute_dtype="float32"):
+              save_image=True, save_flo=True, compute_dtype="float32",
+              spatial_tiles=0, spatial_overlap=128):
     """The reference CLI flow: pair of image files -> .png / .flo outputs.
 
+    ``spatial_tiles`` > 1 runs halo-banded spatially-parallel inference
+    (parallel/spatial.py): bands are sharded one-per-device across the
+    mesh; inputs are %64-padded here and the flow cropped back.
     Returns the predicted (H, W, 2) flow.
     """
     params = load_params(checkpoint)
@@ -87,7 +91,19 @@ def test_pair(model_name, checkpoint, input_a_path, input_b_path, out_dir,
 
         params = cast_params_for_inference(params)
     a, b = load_image_pair(input_a_path, input_b_path)
-    flow = infer_flow(model_name, params, a, b, compute_dtype=compute_dtype)
+    if spatial_tiles and spatial_tiles > 1:
+        from flownet2_tf_tpu.parallel.spatial import infer_flow_spatial
+
+        ap, h, w = pad_to_multiple(jnp.asarray(a, jnp.float32)[None])
+        bp, _, _ = pad_to_multiple(jnp.asarray(b, jnp.float32)[None])
+        flow = infer_flow_spatial(
+            model_name, params, np.asarray(ap[0]), np.asarray(bp[0]),
+            n_tiles=int(spatial_tiles), overlap=int(spatial_overlap),
+            compute_dtype=compute_dtype,
+        )[:h, :w]
+    else:
+        flow = infer_flow(model_name, params, a, b,
+                          compute_dtype=compute_dtype)
     os.makedirs(out_dir, exist_ok=True)
     stem = os.path.join(
         out_dir,

@@ -97,6 +97,26 @@ def test_cli_test_subcommand(tmp_path, rng, capsys):
     assert flow.shape == (100, 120, 2)
 
 
+def test_cli_test_spatial_tiles(tmp_path, rng, capsys):
+    """--spatial_tiles routes through halo-banded inference (bands
+    sharded over the mesh) incl. the %64 pad + crop-back, and returns
+    the input-resolution flow."""
+    pa, pb = _write_ppm_pair(tmp_path, rng)
+    ckpt = _save_random_ckpt(tmp_path)
+    out_dir = tmp_path / "out_sp"
+    rc = cli.main([
+        "test", "--model", "s", "--ckpt", ckpt,
+        "--input_a", str(pa), "--input_b", str(pb),
+        "--out", str(out_dir), "--spatial_tiles", "2",
+        "--spatial_overlap", "32",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["flow_shape"] == [100, 120, 2]
+    flow = flowlib.read_flow(out_dir / "a_flow.flo")
+    assert np.isfinite(flow).all()
+
+
 def test_eval_shape_bucketing_bounds_compiles(rng):
     """Mixed-size eval (KITTI per-sequence jitter) must compile once per
     %64 bucket, not once per exact H x W (VERDICT r1 weak #5)."""
