@@ -25,7 +25,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 LOG_ROOT = os.path.join(os.path.dirname(__file__), "..", "logs",
-                        "r3_curriculum")
+                        os.environ.get("FLOWNET2_CURRICULUM_NAME",
+                                       "r3_curriculum"))
 
 STAGES = {
     # name: (model, steps, warm_starts [(src_stage, src_scope, dst_scope)])
@@ -43,11 +44,12 @@ def stage_dir(name):
     return os.path.abspath(os.path.join(LOG_ROOT, name))
 
 
-def train_stage(name, height, width):
+def train_stage(name, height, width, steps_scale=1, augment=False):
     from flownet2_tf_tpu.data.loader import BatchLoader, SyntheticFlowDataset
     from flownet2_tf_tpu.training.loop import TrainConfig, Trainer
 
     model, steps, warms = STAGES[name]
+    steps = steps * steps_scale
     if name == "s":
         height, width = 320, 448
     log_dir = stage_dir(name)
@@ -70,8 +72,32 @@ def train_stage(name, height, width):
         log_every=100,
         eval_every=0,
     )
+    cfg.augment = bool(augment)
+    preprocess = None
+    if augment:
+        # the Chairs augmentation recipe at the training crop: source
+        # frames are rendered crop+64 so the spatial transforms have
+        # real borders to sample
+        import copy as _copy
+
+        from flownet2_tf_tpu.data.dataset_configs import (
+            FLYING_CHAIRS_DATASET_CONFIG,
+        )
+
+        preprocess = _copy.deepcopy(
+            FLYING_CHAIRS_DATASET_CONFIG["PREPROCESS"]
+        )
+        preprocess["crop_height"] = height
+        preprocess["crop_width"] = width
     trainer = Trainer(cfg)
-    ds = SyntheticFlowDataset(size=512, height=height, width=width, seed=7)
+    src_h = height + (64 if augment else 0)
+    src_w = width + (64 if augment else 0)
+    # cache=True: the single host core renders ~12 ex/s live, starving
+    # the device; 256 memoized scenes rebalance it to device-bound.
+    # uint8 images: what real datasets are, and 4x less per-step
+    # host->device transfer through the axon relay
+    ds = SyntheticFlowDataset(size=256, height=src_h, width=src_w, seed=7,
+                              cache=True, uint8_images=True)
     loader = BatchLoader(ds, batch_size=8, shuffle=True, num_workers=1)
 
     warm = {}
@@ -79,7 +105,7 @@ def train_stage(name, height, width):
         warm[stage_dir(src_stage)] = (src_scope, dst_scope)
 
     t0 = time.time()
-    state = trainer.fit(loader, max_steps=steps,
+    state = trainer.fit(loader, preprocess=preprocess, max_steps=steps,
                         warm_start_checkpoints=warm or None)
     dt = time.time() - t0
     print(f"stage {name}: {steps} steps in {dt:.0f}s "
@@ -92,6 +118,11 @@ def main():
     parser.add_argument("--stages", default="c,cs,css,sd,2,s")
     parser.add_argument("--height", type=int, default=192)
     parser.add_argument("--width", type=int, default=256)
+    parser.add_argument("--steps_scale", type=int, default=1,
+                        help="multiply every stage's step budget")
+    parser.add_argument("--augment", action="store_true",
+                        help="full Chairs augmentation at the crop "
+                             "(source frames rendered crop+64)")
     args = parser.parse_args()
 
     from flownet2_tf_tpu.tools.benchlib import enable_compilation_cache
@@ -103,7 +134,10 @@ def main():
         name = name.strip()
         if not name:
             continue
-        timings[name] = train_stage(name, args.height, args.width)
+        timings[name] = train_stage(
+            name, args.height, args.width,
+            steps_scale=args.steps_scale, augment=args.augment,
+        )
     with open(os.path.join(LOG_ROOT, "timings.json"), "w") as f:
         json.dump(timings, f, indent=2)
     print("done:", json.dumps(timings))

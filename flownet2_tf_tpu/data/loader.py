@@ -42,17 +42,38 @@ class SyntheticFlowDataset:
     """
 
     def __init__(self, size=1024, height=64, width=64, seed=0,
-                 max_flow=5.0):
+                 max_flow=5.0, cache=False, uint8_images=False):
         self.size = int(size)
         self.height = int(height)
         self.width = int(width)
         self.seed = int(seed)
         self.max_flow = float(max_flow)
+        # uint8_images: quantize rendered images to 8-bit — what real
+        # datasets are (Chairs/Sintel PPM/PNG are 8-bit; the trainer's
+        # _images_to_float handles either), and 4x less host->device
+        # transfer, which matters through the axon relay's serialized
+        # connection (flow stays f32)
+        self.uint8_images = bool(uint8_images)
+        # cache=True memoizes rendered scenes: each example costs
+        # ~50-100 ms of host NumPy (this environment has ONE host
+        # core), which starves the device when training loops re-visit
+        # indices — measured 12 ex/s uncached vs device-bound cached
+        # for the augmented curriculum. ~2.6 MB per 256x320 scene.
+        self._cache = {} if cache else None
 
     def __len__(self):
         return self.size
 
     def __getitem__(self, idx):
+        if self._cache is not None:
+            item = self._cache.get(idx)
+            if item is None:
+                item = self._render(idx)
+                self._cache[idx] = item
+            return item
+        return self._render(idx)
+
+    def _render(self, idx):
         rng = np.random.RandomState((self.seed * 1_000_003 + idx) % 2**31)
         h, w = self.height, self.width
         # smooth texture: low-res noise upsampled
@@ -78,6 +99,13 @@ class SyntheticFlowDataset:
         # resampling A at the inverse map (approximate with -flow for the
         # small fields used here, then refine one fixed-point step).
         img_b = _backward_resample(img_a, -flow)
+        if self.uint8_images:
+            img_a = (np.clip(img_a, 0.0, 1.0) * 255.0 + 0.5).astype(
+                np.uint8
+            )
+            img_b = (np.clip(img_b, 0.0, 1.0) * 255.0 + 0.5).astype(
+                np.uint8
+            )
         return {"image_a": img_a, "image_b": img_b, "flow": flow}
 
 
