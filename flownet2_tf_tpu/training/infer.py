@@ -94,10 +94,16 @@ def test_pair(model_name, checkpoint, input_a_path, input_b_path, out_dir,
     if spatial_tiles and spatial_tiles > 1:
         from flownet2_tf_tpu.parallel.spatial import infer_flow_spatial
 
-        ap, h, w = pad_to_multiple(jnp.asarray(a, jnp.float32)[None])
-        bp, _, _ = pad_to_multiple(jnp.asarray(b, jnp.float32)[None])
+        # %64-pad on the HOST: a device round-trip here would pay the
+        # tunnel's pathological bulk device->host fetch for nothing
+        h, w = a.shape[:2]
+        ph, pw = (-h) % 64, (-w) % 64
+        ap = np.pad(np.asarray(a, np.float32), ((0, ph), (0, pw), (0, 0)),
+                    mode="edge")
+        bp = np.pad(np.asarray(b, np.float32), ((0, ph), (0, pw), (0, 0)),
+                    mode="edge")
         flow = infer_flow_spatial(
-            model_name, params, np.asarray(ap[0]), np.asarray(bp[0]),
+            model_name, params, ap, bp,
             n_tiles=int(spatial_tiles), overlap=int(spatial_overlap),
             compute_dtype=compute_dtype,
         )[:h, :w]
