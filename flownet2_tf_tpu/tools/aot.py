@@ -1,0 +1,161 @@
+"""AOT serving export: compile a model forward once, ship one artifact.
+
+The reference era's serving path was TF1 ``freeze_graph`` — a single
+file holding graph + weights that a server loads without the model
+code. The TPU-native equivalent is :mod:`jax.export`: the jitted
+forward is lowered to StableHLO *ahead of time* and serialized together
+with the weights into one ``.flowpak`` zip:
+
+    exported.bin   jax.export artifact for fn(params, image_a, image_b)
+    params.npz     flat weight arrays (warmstart.flatten naming)
+    meta.json      model name, shapes, dtype, warp mode, platforms
+
+``load_serving`` restores the artifact WITHOUT touching the model
+registry or any flownet2_tf_tpu model code — the compute graph is
+frozen inside the StableHLO, so serving hosts need only jax + the
+artifact. Serving-preset choices (bf16 params pre-cast, half-res stack
+warps) are baked in at export time via the same dispatch knobs the
+bench headline uses; they are trace-time decisions, so the exported
+graph carries them implicitly.
+
+Exports are shape-specialized (static shapes are what make the XLA
+program fast — SURVEY §7 design stance); one artifact per serving
+resolution, mirroring the %64 bucketing the eval path uses.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import zipfile
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def _serving_forward(model_name: str, compute_dtype: str):
+    """Build fn(params, a, b) -> (N,H,W,2) flow for export."""
+    import jax.numpy as jnp
+
+    from flownet2_tf_tpu.models.registry import get_model
+
+    m = get_model(model_name)
+    cd = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+
+    def fn(params, image_a, image_b):
+        out = m.apply(params, {"input_a": image_a, "input_b": image_b},
+                      compute_dtype=cd)
+        return out["flow"]
+
+    return fn
+
+
+def export_serving(model_name, params, height, width, out_path, batch=1,
+                   compute_dtype="bfloat16", warp_mode="half",
+                   platforms=None):
+    """Export one compiled serving forward to ``out_path`` (.flowpak).
+
+    ``warp_mode='half'`` bakes the half-res stack-warp serving preset
+    (docs/DESIGN.md: 1.55x for +0.006 px AEE on trained weights);
+    ``'full'`` keeps exact warps (the parity path). ``platforms``
+    defaults to the current backend; pass e.g. ``['tpu', 'cpu']`` for a
+    multi-platform artifact.
+    """
+    import jax
+    from jax import export as jexport
+
+    from flownet2_tf_tpu.ops import dispatch
+    from flownet2_tf_tpu.training import warmstart
+
+    if height % 64 or width % 64:
+        raise ValueError(
+            f"serving export shapes must be multiples of 64 (six stride-2 "
+            f"stages; SURVEY §7 hard part 5): got {height}x{width}. Pad "
+            "to the next multiple and crop the flow on the host."
+        )
+
+    if compute_dtype == "bfloat16":
+        from flownet2_tf_tpu.models.common import cast_params_for_inference
+
+        params = cast_params_for_inference(params)
+
+    fn = _serving_forward(model_name, compute_dtype)
+
+    with contextlib.ExitStack() as stack:
+        if warp_mode == "half":
+            stack.enter_context(dispatch.use_half_res_warp(True))
+        elif warp_mode != "full":
+            raise ValueError(f"warp_mode must be 'half' or 'full': {warp_mode!r}")
+        img = jax.ShapeDtypeStruct((batch, height, width, 3), np.float32)
+        p_spec = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params
+        )
+        kwargs = {}
+        if platforms is not None:
+            kwargs["platforms"] = tuple(platforms)
+        exported = jexport.export(jax.jit(fn), **kwargs)(p_spec, img, img)
+
+    flat = warmstart.flatten(jax.tree.map(np.asarray, params))
+    params_buf = io.BytesIO()
+    np.savez(params_buf, **flat)
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "model": model_name,
+        "batch": batch,
+        "height": height,
+        "width": width,
+        "compute_dtype": compute_dtype,
+        "warp_mode": warp_mode,
+        "platforms": list(exported.platforms),
+    }
+    out_path = os.fspath(out_path)
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("exported.bin", exported.serialize())
+        z.writestr("params.npz", params_buf.getvalue())
+        z.writestr("meta.json", json.dumps(meta, indent=1))
+    return meta
+
+
+class ServingModel:
+    """A deserialized .flowpak: call with (N,H,W,3) float32 pairs in [0,1].
+
+    Does not import any model code — the graph lives in the artifact.
+    """
+
+    def __init__(self, exported, params, meta):
+        self._exported = exported
+        self._params = params
+        self.meta = meta
+
+    def __call__(self, image_a, image_b):
+        a = np.asarray(image_a, np.float32)
+        b = np.asarray(image_b, np.float32)
+        expect = (self.meta["batch"], self.meta["height"],
+                  self.meta["width"], 3)
+        if a.shape != expect or b.shape != expect:
+            raise ValueError(
+                f"artifact is specialized to inputs {expect}; got "
+                f"{a.shape} / {b.shape}. Export one artifact per serving "
+                "resolution (shapes are static by design)."
+            )
+        return np.asarray(self._exported.call(self._params, a, b))
+
+
+def load_serving(path):
+    """Load a .flowpak written by :func:`export_serving`."""
+    from jax import export as jexport
+
+    from flownet2_tf_tpu.training import warmstart
+
+    with zipfile.ZipFile(os.fspath(path)) as z:
+        meta = json.loads(z.read("meta.json"))
+        if meta.get("format_version") != FORMAT_VERSION:
+            raise ValueError(f"unsupported .flowpak version: {meta}")
+        exported = jexport.deserialize(z.read("exported.bin"))
+        with np.load(io.BytesIO(z.read("params.npz"))) as npz:
+            params = warmstart.unflatten(dict(npz))
+    return ServingModel(exported, params, meta)

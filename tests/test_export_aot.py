@@ -1,0 +1,92 @@
+"""AOT serving export (.flowpak): jax.export roundtrip tests.
+
+The serving analogue of the reference era's freeze_graph: one artifact
+holding the compiled StableHLO forward + weights, loadable without the
+model registry (tools/aot.py).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from flownet2_tf_tpu.models.registry import get_model
+from flownet2_tf_tpu.tools import aot
+
+
+@pytest.fixture(scope="module")
+def s_params():
+    return get_model("s").init(jax.random.PRNGKey(0))
+
+
+def test_roundtrip_matches_infer_flow(tmp_path, s_params):
+    from flownet2_tf_tpu.training.infer import infer_flow
+
+    path = tmp_path / "s.flowpak"
+    meta = aot.export_serving("s", s_params, 64, 64, path,
+                              compute_dtype="float32", warp_mode="full")
+    assert meta["platforms"] == ["cpu"]
+    sm = aot.load_serving(path)
+    rng = np.random.RandomState(3)
+    a = rng.rand(1, 64, 64, 3).astype(np.float32)
+    b = rng.rand(1, 64, 64, 3).astype(np.float32)
+    got = sm(a, b)
+    ref = np.asarray(infer_flow("s", s_params, a, b,
+                                compute_dtype="float32"))
+    assert got.shape == (1, 64, 64, 2)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    # shape-specialized artifact must refuse other shapes loudly
+    with pytest.raises(ValueError, match="specialized"):
+        sm(np.zeros((1, 128, 64, 3), np.float32),
+           np.zeros((1, 128, 64, 3), np.float32))
+
+
+def test_half_res_warp_baked_at_export(tmp_path):
+    """An artifact exported under the serving preset reproduces the
+    half-res-warp forward, NOT the exact-warp forward — the dispatch
+    knob is a trace-time decision frozen into the StableHLO."""
+    from flownet2_tf_tpu.ops import dispatch
+    from flownet2_tf_tpu.training.infer import infer_flow
+
+    params = get_model("cs").init(jax.random.PRNGKey(1))
+    path = tmp_path / "cs_half.flowpak"
+    aot.export_serving("cs", params, 64, 64, path,
+                       compute_dtype="float32", warp_mode="half")
+    sm = aot.load_serving(path)
+    rng = np.random.RandomState(4)
+    a = rng.rand(1, 64, 64, 3).astype(np.float32)
+    b = rng.rand(1, 64, 64, 3).astype(np.float32)
+    got = sm(a, b)
+    with dispatch.use_half_res_warp(True):
+        ref_half = np.asarray(infer_flow("cs", params, a, b,
+                                         compute_dtype="float32"))
+    ref_full = np.asarray(infer_flow("cs", params, a, b,
+                                     compute_dtype="float32"))
+    np.testing.assert_allclose(got, ref_half, atol=1e-5)
+    assert np.abs(got - ref_full).max() > 1e-4
+
+
+def test_export_validates_mod64(tmp_path, s_params):
+    with pytest.raises(ValueError, match="multiples of 64"):
+        aot.export_serving("s", s_params, 60, 64, tmp_path / "x.flowpak")
+
+
+def test_cli_export_aot(tmp_path, s_params):
+    """`flownet2_tf_tpu export --aot` end-to-end from a saved npz."""
+    from flownet2_tf_tpu import cli
+    from flownet2_tf_tpu.training import warmstart
+
+    ckpt = tmp_path / "weights.npz"
+    np.savez(ckpt, **warmstart.flatten(jax.tree.map(np.asarray, s_params)))
+    out = tmp_path / "s_cli.flowpak"
+    rc = cli.main([
+        "export", "--aot", "--ckpt", str(ckpt), "--out", str(out),
+        "--model", "s", "--height", "64", "--width", "64",
+        "--compute_dtype", "float32", "--warp_mode", "full",
+    ])
+    assert rc == 0
+    sm = aot.load_serving(out)
+    assert sm.meta["model"] == "s"
+    flow = sm(np.zeros((1, 64, 64, 3), np.float32),
+              np.zeros((1, 64, 64, 3), np.float32))
+    assert np.isfinite(flow).all()
