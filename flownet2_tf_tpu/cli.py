@@ -337,6 +337,40 @@ def cmd_export(args):
     return 0
 
 
+def cmd_serve(args):
+    """Run a .flowpak artifact on an image pair — no model code on the
+    serving path; the graph lives in the artifact (tools/aot.py)."""
+    import os
+
+    from flownet2_tf_tpu.tools.aot import load_serving
+    from flownet2_tf_tpu.training.infer import load_image_pair
+    from flownet2_tf_tpu.utils import flowlib
+
+    model = load_serving(args.artifact)
+    a, b = load_image_pair(args.input_a, args.input_b)
+    flow = model.infer_pair(a, b)
+    os.makedirs(args.out, exist_ok=True)
+    stem = os.path.join(
+        args.out,
+        os.path.splitext(os.path.basename(args.input_a))[0] + "_flow",
+    )
+    if not args.no_flo:
+        flowlib.write_flow(flow, stem + ".flo")
+    if not args.no_image:
+        flowlib.write_flow_png(flow, stem + ".png")
+    print(json.dumps({
+        "artifact": args.artifact,
+        **{k: model.meta[k] for k in ("model", "compute_dtype",
+                                      "warp_mode")},
+        "flow_shape": list(flow.shape),
+        "mean_magnitude": float(
+            ((flow[..., 0] ** 2 + flow[..., 1] ** 2) ** 0.5).mean()
+        ),
+        "out_dir": args.out,
+    }))
+    return 0
+
+
 def build_parser():
     parser = argparse.ArgumentParser(prog="flownet2_tf_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -506,6 +540,17 @@ def build_parser():
              "default: current backend only",
     )
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "serve", help="run a .flowpak AOT artifact on an image pair"
+    )
+    p.add_argument("--artifact", required=True, help=".flowpak path")
+    p.add_argument("--input_a", required=True)
+    p.add_argument("--input_b", required=True)
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--no_image", action="store_true")
+    p.add_argument("--no_flo", action="store_true")
+    p.set_defaults(fn=cmd_serve)
 
     return parser
 

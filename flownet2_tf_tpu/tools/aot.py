@@ -144,6 +144,34 @@ class ServingModel:
             )
         return np.asarray(self._exported.call(self._params, a, b))
 
+    def infer_pair(self, image_a, image_b):
+        """Serve one unbatched (H, W, 3) pair; H/W may be SMALLER than
+        the artifact resolution — inputs are edge-padded up on the host
+        and the flow cropped back (the %64 policy the eval path uses).
+        Larger inputs need a larger artifact and error out.
+        """
+        a = np.asarray(image_a, np.float32)
+        b = np.asarray(image_b, np.float32)
+        if a.ndim != 3 or a.shape != b.shape:
+            raise ValueError(f"expected matching (H, W, 3) pairs: "
+                             f"{a.shape} / {b.shape}")
+        h, w = a.shape[:2]
+        eh, ew = self.meta["height"], self.meta["width"]
+        if h > eh or w > ew:
+            raise ValueError(
+                f"input {h}x{w} exceeds the artifact resolution "
+                f"{eh}x{ew}; export a larger artifact."
+            )
+        pad = ((0, eh - h), (0, ew - w), (0, 0))
+        a = np.pad(a, pad, mode="edge")
+        b = np.pad(b, pad, mode="edge")
+        if self.meta["batch"] != 1:
+            a = np.broadcast_to(a, (self.meta["batch"],) + a.shape)
+            b = np.broadcast_to(b, (self.meta["batch"],) + b.shape)
+        else:
+            a, b = a[None], b[None]
+        return self(a, b)[0, :h, :w]
+
 
 def load_serving(path):
     """Load a .flowpak written by :func:`export_serving`."""

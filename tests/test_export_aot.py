@@ -71,6 +71,35 @@ def test_export_validates_mod64(tmp_path, s_params):
         aot.export_serving("s", s_params, 60, 64, tmp_path / "x.flowpak")
 
 
+def test_cli_serve_pads_and_crops(tmp_path, s_params, capsys):
+    """`serve` on a pair SMALLER than the artifact resolution: inputs
+    edge-pad up on the host, flow crops back, .flo/.png written."""
+    import json
+
+    from flownet2_tf_tpu import cli
+    from flownet2_tf_tpu.utils import flowlib
+    from flownet2_tf_tpu.utils.image_io import write_image
+
+    path = tmp_path / "s.flowpak"
+    aot.export_serving("s", s_params, 64, 64, path,
+                       compute_dtype="float32", warp_mode="full")
+    rng = np.random.RandomState(7)
+    a_path, b_path = tmp_path / "a.png", tmp_path / "b.png"
+    write_image(rng.randint(0, 255, (48, 56, 3), np.uint8), a_path)
+    write_image(rng.randint(0, 255, (48, 56, 3), np.uint8), b_path)
+    out = tmp_path / "out"
+    rc = cli.main([
+        "serve", "--artifact", str(path), "--input_a", str(a_path),
+        "--input_b", str(b_path), "--out", str(out),
+    ])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["flow_shape"] == [48, 56, 2]
+    flow = flowlib.read_flow(out / "a_flow.flo")
+    assert flow.shape == (48, 56, 2)
+    assert (out / "a_flow.png").exists()
+
+
 def test_cli_export_aot(tmp_path, s_params):
     """`flownet2_tf_tpu export --aot` end-to-end from a saved npz."""
     from flownet2_tf_tpu import cli
