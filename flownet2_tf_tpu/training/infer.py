@@ -123,12 +123,6 @@ def test_pair(model_name, checkpoint, input_a_path, input_b_path, out_dir,
     return flow
 
 
-# Incremented at trace time (the function body runs once per compiled
-# shape signature); tests assert shape bucketing keeps this O(buckets),
-# not O(distinct input sizes).
-_EVAL_TRACE_COUNT = 0
-
-
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def _aee_on_device(model_name, params, batch, compute_dtype_name,
                    dispatch_sig=None):
@@ -139,10 +133,10 @@ def _aee_on_device(model_name, params, batch, compute_dtype_name,
     shape: no flow field ever crosses to the host. Inputs arrive already
     padded to a %64 bucket with a validity mask covering the original
     region, so KITTI-style per-sequence size jitter maps onto a handful
-    of compiled shapes instead of one compile per exact H x W.
+    of compiled shapes instead of one compile per exact H x W. (Tests
+    pin the bucketing via this jit's ``_cache_size()`` — one compile per
+    bucket, not per distinct input size.)
     """
-    global _EVAL_TRACE_COUNT
-    _EVAL_TRACE_COUNT += 1
     model = get_model(model_name)
     cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else None
     preds = model.apply(

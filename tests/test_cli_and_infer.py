@@ -138,12 +138,11 @@ def test_eval_shape_bucketing_bounds_compiles(rng):
             }
 
     params = get_model("s").init(jax.random.PRNGKey(0))
-    before = infer._EVAL_TRACE_COUNT
+    before = infer._aee_on_device._cache_size()
     aee = infer.evaluate_dataset("s", params, Ragged())
     assert np.isfinite(aee)
-    assert infer._EVAL_TRACE_COUNT - before <= 2, (
-        infer._EVAL_TRACE_COUNT - before
-    )
+    traces = infer._aee_on_device._cache_size() - before
+    assert traces <= 2, traces
 
 
 def test_masked_eval_ignores_invalid_pixels(rng):
