@@ -328,6 +328,7 @@ def cmd_export(args):
             args.model, tree, args.height, args.width, args.out,
             batch=args.batch, compute_dtype=args.compute_dtype,
             warp_mode=args.warp_mode, platforms=platforms,
+            data_parallel=args.data_parallel,
         )
         print(json.dumps({"out": args.out, **meta}))
         return 0
@@ -538,6 +539,12 @@ def build_parser():
         "--platforms", default=None,
         help="comma list (e.g. tpu,cpu) for a multi-platform artifact; "
              "default: current backend only",
+    )
+    p.add_argument(
+        "--data_parallel", type=int, default=0,
+        help="export the forward pjit-sharded over an N-chip ('data',) "
+             "mesh (params replicated, batch split); needs batch %% N "
+             "== 0 and N devices at export and load",
     )
     p.set_defaults(fn=cmd_export)
 

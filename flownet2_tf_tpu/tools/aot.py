@@ -53,9 +53,22 @@ def _serving_forward(model_name: str, compute_dtype: str):
     return fn
 
 
+def _serving_mesh(n):
+    """(mesh, replicated, batch-sharded) over the first ``n`` devices.
+
+    Used identically at export and at load so the recorded device
+    assignment lines up (jax.export pins nr_devices, not device ids).
+    """
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+    return mesh, NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+
+
 def export_serving(model_name, params, height, width, out_path, batch=1,
                    compute_dtype="bfloat16", warp_mode="half",
-                   platforms=None):
+                   platforms=None, data_parallel=0):
     """Export one compiled serving forward to ``out_path`` (.flowpak).
 
     ``warp_mode='half'`` bakes the half-res stack-warp serving preset
@@ -63,6 +76,12 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
     ``'full'`` keeps exact warps (the parity path). ``platforms``
     defaults to the current backend; pass e.g. ``['tpu', 'cpu']`` for a
     multi-platform artifact.
+
+    ``data_parallel=N`` (N > 1) exports the forward pjit-sharded over an
+    N-chip ``('data',)`` mesh — params replicated, batch split over ICI
+    — so a multi-chip serving host loads ONE artifact and feeds full
+    batches; requires ``batch % N == 0`` and N visible devices both at
+    export and at load.
     """
     import jax
     from jax import export as jexport
@@ -84,6 +103,23 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
 
     fn = _serving_forward(model_name, compute_dtype)
 
+    dp = int(data_parallel) if data_parallel else 0
+    if dp > 1:
+        if batch % dp:
+            raise ValueError(
+                f"data_parallel={dp} needs batch % {dp} == 0: got {batch}"
+            )
+        if len(jax.devices()) < dp:
+            raise ValueError(
+                f"data_parallel={dp} but only {len(jax.devices())} "
+                "devices visible at export"
+            )
+        mesh, repl, batched = _serving_mesh(dp)
+        jitted = jax.jit(fn, in_shardings=(repl, batched, batched),
+                         out_shardings=batched)
+    else:
+        jitted = jax.jit(fn)
+
     with contextlib.ExitStack() as stack:
         if warp_mode == "half":
             stack.enter_context(dispatch.use_half_res_warp(True))
@@ -96,7 +132,7 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
         kwargs = {}
         if platforms is not None:
             kwargs["platforms"] = tuple(platforms)
-        exported = jexport.export(jax.jit(fn), **kwargs)(p_spec, img, img)
+        exported = jexport.export(jitted, **kwargs)(p_spec, img, img)
 
     flat = warmstart.flatten(jax.tree.map(np.asarray, params))
     params_buf = io.BytesIO()
@@ -111,6 +147,7 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
         "compute_dtype": compute_dtype,
         "warp_mode": warp_mode,
         "platforms": list(exported.platforms),
+        "data_parallel": dp,
     }
     out_path = os.fspath(out_path)
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
@@ -130,6 +167,22 @@ class ServingModel:
         self._exported = exported
         self._params = params
         self.meta = meta
+        self._dp_call = None
+        dp = meta.get("data_parallel", 0)
+        if dp > 1:
+            import jax
+
+            if len(jax.devices()) < dp:
+                raise ValueError(
+                    f"artifact was exported data_parallel={dp} but only "
+                    f"{len(jax.devices())} devices are visible"
+                )
+            _, repl, self._batched = _serving_mesh(dp)
+            # params live replicated on the mesh for the artifact's
+            # lifetime; per-call work is just the sharded batch put
+            self._params = jax.device_put(params, repl)
+            self._dp_call = jax.jit(exported.call,
+                                    out_shardings=self._batched)
 
     def __call__(self, image_a, image_b):
         a = np.asarray(image_a, np.float32)
@@ -142,6 +195,12 @@ class ServingModel:
                 f"{a.shape} / {b.shape}. Export one artifact per serving "
                 "resolution (shapes are static by design)."
             )
+        if self._dp_call is not None:
+            import jax
+
+            a = jax.device_put(a, self._batched)
+            b = jax.device_put(b, self._batched)
+            return np.asarray(self._dp_call(self._params, a, b))
         return np.asarray(self._exported.call(self._params, a, b))
 
     def infer_pair(self, image_a, image_b):

@@ -66,6 +66,31 @@ def test_half_res_warp_baked_at_export(tmp_path):
     assert np.abs(got - ref_full).max() > 1e-4
 
 
+def test_data_parallel_export_matches_single_device(tmp_path, s_params):
+    """A data_parallel=8 artifact (params replicated, batch split over
+    the ('data',) mesh) returns the same flows as the unsharded path —
+    on the conftest's virtual 8-CPU mesh."""
+    from flownet2_tf_tpu.training.infer import infer_flow
+
+    path = tmp_path / "s_dp8.flowpak"
+    meta = aot.export_serving("s", s_params, 64, 64, path, batch=8,
+                              compute_dtype="float32", warp_mode="full",
+                              data_parallel=8)
+    assert meta["data_parallel"] == 8
+    sm = aot.load_serving(path)
+    rng = np.random.RandomState(5)
+    a = rng.rand(8, 64, 64, 3).astype(np.float32)
+    b = rng.rand(8, 64, 64, 3).astype(np.float32)
+    got = sm(a, b)
+    ref = np.asarray(infer_flow("s", s_params, a, b,
+                                compute_dtype="float32"))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    with pytest.raises(ValueError, match="batch %"):
+        aot.export_serving("s", s_params, 64, 64, tmp_path / "x.flowpak",
+                           batch=4, data_parallel=8)
+
+
 def test_export_validates_mod64(tmp_path, s_params):
     with pytest.raises(ValueError, match="multiples of 64"):
         aot.export_serving("s", s_params, 60, 64, tmp_path / "x.flowpak")
