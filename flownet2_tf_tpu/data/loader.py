@@ -449,25 +449,38 @@ class BatchLoader:
             np.random.RandomState(self.seed + epoch).shuffle(order)
         return order
 
-    def batches(self, epochs=None) -> Iterator[dict]:
-        """Yield batches forever (epochs=None) or for N epochs."""
+    def batches(self, epochs=None, start_batch=0) -> Iterator[dict]:
+        """Yield batches forever (epochs=None) or for N epochs.
+
+        ``start_batch`` skips the first N batches of the stream without
+        fetching them — the epoch order is a pure function of
+        ``(seed, epoch)``, so a trainer resuming at step N sees exactly
+        the batches an uninterrupted run would have seen (sample-exact
+        resume; ``epochs`` still counts whole epochs from the stream
+        head).
+        """
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        n_examples = len(self.dataset)
+        limit = (
+            n_examples - n_examples % self.batch_size
+            if self.drop_remainder
+            else n_examples
+        )
+        per_epoch = max(1, -(-limit // self.batch_size))
+        start_epoch = int(start_batch) // per_epoch
+        skip_in_epoch = (int(start_batch) % per_epoch) * self.batch_size
+
         def producer():
-            epoch = 0
+            epoch = start_epoch
+            skip = skip_in_epoch
             try:
                 while not stop.is_set():
                     if epochs is not None and epoch >= epochs:
                         break
                     order = self._epoch_order(epoch)
-                    n = len(order)
-                    limit = (
-                        n - n % self.batch_size
-                        if self.drop_remainder
-                        else n
-                    )
-                    for start in range(0, limit, self.batch_size):
+                    for start in range(skip, limit, self.batch_size):
                         idxs = order[start : start + self.batch_size]
                         if hasattr(self.dataset, "fetch_batch"):
                             batch = self.dataset.fetch_batch(
@@ -490,6 +503,7 @@ class BatchLoader:
                         if stop.is_set():
                             return
                     epoch += 1
+                    skip = 0
             finally:
                 while not stop.is_set():
                     try:

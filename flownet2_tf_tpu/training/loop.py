@@ -437,7 +437,16 @@ class Trainer:
         # the DP batch axis must divide the mesh; shrink it if needed
         import itertools
 
-        probe_iter = loader.batches()
+        # Sample-exact resume: restart the data stream at the batch the
+        # interrupted run would have consumed next (BatchLoader's epoch
+        # order is a pure function of (seed, epoch), so skipping is
+        # exact and free). Loaders without start_batch resume from the
+        # stream head, as the reference's queue runners did.
+        start_step = int(jax.device_get(state["step"]))
+        try:
+            probe_iter = loader.batches(start_batch=start_step)
+        except TypeError:
+            probe_iter = loader.batches()
         first_batch = next(probe_iter, None)
         if first_batch is not None:
             bsz = first_batch["image_a"].shape[0]
@@ -465,8 +474,11 @@ class Trainer:
 
             writer = SummaryWriter(cfg.log_dir)
 
-        key = jax.random.PRNGKey(cfg.seed + 17)
-        start_step = int(jax.device_get(state["step"]))
+        # Per-step augmentation key = fold_in(base, step): stateless, so
+        # a resumed run reproduces the exact key an uninterrupted run
+        # would use at the same step (a split CHAIN would restart from
+        # the base on resume and silently diverge).
+        base_key = jax.random.PRNGKey(cfg.seed + 17)
         t_last = time.time()
         examples_since = 0
         step = start_step
@@ -484,7 +496,7 @@ class Trainer:
             for batch, device_batch in prefetcher:
                 if step >= max_steps:
                     break
-                key, sub = jax.random.split(key)
+                sub = jax.random.fold_in(base_key, step)
                 state, metrics = step_fn(state, device_batch, sub)
                 step += 1
                 examples_since += batch["image_a"].shape[0]

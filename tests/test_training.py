@@ -184,6 +184,63 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_is_sample_exact(tmp_path):
+    """Interrupted + resumed training reproduces an uninterrupted run
+    bit-for-bit: the loader restarts at the next unconsumed batch (epoch
+    order is pure in (seed, epoch)) and the per-step augmentation key is
+    fold_in(base, step), not a split chain that would restart on resume.
+    The reference had no such guarantee (queue runners restart the
+    input stream on every relaunch)."""
+    ds = SyntheticFlowDataset(size=8, height=64, width=64, seed=5)
+
+    def make(name):
+        loader = BatchLoader(ds, batch_size=2, shuffle=True, seed=11,
+                             num_workers=1)
+        cfg = _small_cfg(tmp_path, name, augment=True)
+        return Trainer(cfg, mesh=_one_device_mesh()), loader
+
+    aug = {
+        "crop_height": 64,
+        "crop_width": 64,
+        "image_a": {
+            "translate": {
+                "rand_type": "uniform_bernoulli", "exp": False,
+                "mean": 0.0, "spread": 0.05, "prob": 1.0,
+            },
+        },
+        "image_b": {},
+    }
+
+    t_full, l_full = make("full")
+    p_full = jax.device_get(t_full.fit(l_full, preprocess=aug,
+                                       max_steps=4)["params"])
+
+    t_a, l_a = make("resumed")
+    t_a.save(t_a.fit(l_a, preprocess=aug, max_steps=2), wait=True)
+    t_b, l_b = make("resumed")  # fresh trainer, same log_dir: auto-resume
+    state_b, resumed = t_b.restore_or_init()
+    assert resumed and int(jax.device_get(state_b["step"])) == 2
+    p_res = jax.device_get(t_b.fit(l_b, preprocess=aug, max_steps=4,
+                                   state=state_b)["params"])
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_res)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_loader_start_batch_skips_exactly():
+    ds = SyntheticFlowDataset(size=10, height=64, width=64, seed=2)
+    mk = lambda: BatchLoader(ds, batch_size=2, shuffle=True, seed=3,
+                             num_workers=1)
+    import itertools
+
+    full = list(itertools.islice(mk().batches(), 9))
+    tail = list(itertools.islice(mk().batches(start_batch=4), 5))
+    for want, got in zip(full[4:], tail):
+        np.testing.assert_array_equal(want["image_a"], got["image_a"])
+        np.testing.assert_array_equal(want["flow"], got["flow"])
+
+
 def test_warmstart_scope_splice():
     from flownet2_tf_tpu.models.registry import get_model
 
