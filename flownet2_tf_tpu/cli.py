@@ -338,6 +338,53 @@ def cmd_export(args):
     return 0
 
 
+def cmd_info(args):
+    """Model card: per-scope parameter counts (+ analytic FLOPs/pair
+    via XLA cost analysis with --flops; compiles the forward once)."""
+    import jax
+    import numpy as np
+
+    from flownet2_tf_tpu.models.registry import get_model
+
+    m = get_model(args.model)
+    params = m.init(jax.random.PRNGKey(0))
+
+    def count(tree):
+        return int(sum(np.prod(x.shape) for x in
+                       jax.tree_util.tree_leaves(tree)))
+
+    out = {
+        "model": args.model,
+        "name": m.name,
+        "params_total": count(params),
+        "params_by_scope": {
+            k: count(v) for k, v in sorted(params.items())
+        },
+    }
+    if args.flops:
+        import jax.numpy as jnp
+
+        from flownet2_tf_tpu.tools import benchlib
+
+        img = jnp.zeros((args.batch, args.height, args.width, 3),
+                        jnp.float32)
+        flops, hbm = benchlib.cost_analysis(
+            lambda p, a, b: m.apply(
+                p, {"input_a": a, "input_b": b},
+                compute_dtype=jnp.bfloat16,
+            )["flow"].mean(),
+            params, img, img,
+        )
+        if flops:
+            out["gflops_per_batch"] = round(flops / 1e9, 3)
+            out["gflops_per_pair"] = round(flops / 1e9 / args.batch, 3)
+        if hbm:
+            out["hbm_gb_xla_opsum_bound"] = round(hbm / 1e9, 3)
+        out["at"] = f"{args.batch}x{args.height}x{args.width} bf16"
+    print(json.dumps(out, indent=1))
+    return 0
+
+
 def cmd_serve(args):
     """Run a .flowpak artifact on an image pair — no model code on the
     serving path; the graph lives in the artifact (tools/aot.py)."""
@@ -547,6 +594,17 @@ def build_parser():
              "== 0 and N devices at export and load",
     )
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "info", help="model card: parameter counts, optional FLOPs"
+    )
+    p.add_argument("--model", default="2")
+    p.add_argument("--flops", action="store_true",
+                   help="also report analytic FLOPs/pair (compiles once)")
+    p.add_argument("--height", type=int, default=448)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--batch", type=int, default=1)
+    p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser(
         "serve", help="run a .flowpak AOT artifact on an image pair"

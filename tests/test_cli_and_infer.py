@@ -145,6 +145,20 @@ def test_eval_shape_bucketing_bounds_compiles(rng):
     assert traces <= 2, traces
 
 
+def test_cli_info_param_counts(capsys):
+    """`info` reports per-scope parameter counts; totals pin the
+    published model sizes (FlowNet2 ~160M params, FlowNetS ~38M)."""
+    import json
+
+    from flownet2_tf_tpu import cli
+
+    assert cli.main(["info", "--model", "2"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["params_total"] == 162518850
+    assert out["params_by_scope"]["FlowNetSD"] == 45371666
+    assert sum(out["params_by_scope"].values()) == out["params_total"]
+
+
 def test_masked_eval_ignores_invalid_pixels(rng):
     """KITTI-style validity masks: AEE over a half-masked pair equals the
     AEE over the valid half only."""
