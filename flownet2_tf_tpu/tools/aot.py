@@ -125,6 +125,13 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
             stack.enter_context(dispatch.use_half_res_warp(True))
         elif warp_mode != "full":
             raise ValueError(f"warp_mode must be 'half' or 'full': {warp_mode!r}")
+        if platforms is not None and len(platforms) > 1 \
+                and dispatch.get_implementation() == "auto":
+            # 'auto' picks a correlation impl from the EXPORT host's
+            # backend at trace time; a multi-platform artifact must bake
+            # a platform-independent choice. mxu (einsum+skew) is the
+            # measured in-model winner on TPU and runs everywhere.
+            stack.enter_context(dispatch.use_implementation("mxu"))
         img = jax.ShapeDtypeStruct((batch, height, width, 3), np.float32)
         p_spec = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params

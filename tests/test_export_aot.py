@@ -91,6 +91,24 @@ def test_data_parallel_export_matches_single_device(tmp_path, s_params):
                            batch=4, data_parallel=8)
 
 
+def test_multi_platform_export_runs_on_cpu(tmp_path):
+    """platforms=['cpu','tpu'] lowers both ahead of time (no TPU needed
+    at export); correlation dispatch is pinned to the platform-
+    independent mxu formulation so the baked graph is identical on both
+    backends. The artifact must run on the CPU side here."""
+    params = get_model("c").init(jax.random.PRNGKey(2))
+    path = tmp_path / "c_multi.flowpak"
+    meta = aot.export_serving("c", params, 64, 64, path,
+                              compute_dtype="float32", warp_mode="full",
+                              platforms=["cpu", "tpu"])
+    assert sorted(meta["platforms"]) == ["cpu", "tpu"]
+    sm = aot.load_serving(path)
+    rng = np.random.RandomState(6)
+    flow = sm(rng.rand(1, 64, 64, 3).astype(np.float32),
+              rng.rand(1, 64, 64, 3).astype(np.float32))
+    assert flow.shape == (1, 64, 64, 2) and np.isfinite(flow).all()
+
+
 def test_export_validates_mod64(tmp_path, s_params):
     with pytest.raises(ValueError, match="multiples of 64"):
         aot.export_serving("s", s_params, 60, 64, tmp_path / "x.flowpak")
