@@ -38,6 +38,46 @@ from flownet2_tf_tpu.ops.flow_warp import (
     stack_warp_s2d_enc,
 )
 from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
+from flownet2_tf_tpu.ops.sampling import _UNROLL_MAX_SAMPLES
+
+
+def _double_warp_batched(warp_multi_fn, input_b, flow_a, flow_b):
+    """FlowNet2 fusion double warp over a batch: warp each sample's
+    input_b by BOTH branch flows through one shared packed table.
+
+    Small batches unroll per-sample Python-side (measured faster
+    in-model — the gather emitter's record rate collapses on large
+    operands, ops/sampling.py module docstring); above the sampling
+    unroll threshold the per-sample body rolls into one ``lax.map`` so
+    the HLO stays O(1) in batch size instead of 2N unrolled gather
+    subgraphs (ADVICE r2).
+    """
+    n = input_b.shape[0]
+    if n == 1:
+        pair = warp_multi_fn(
+            input_b, jnp.concatenate([flow_a, flow_b], axis=0)
+        )
+        return pair[0:1], pair[1:2]
+    if n <= _UNROLL_MAX_SAMPLES:
+        a_parts, b_parts = [], []
+        for i in range(n):
+            pair = warp_multi_fn(
+                input_b[i : i + 1],
+                jnp.concatenate(
+                    [flow_a[i : i + 1], flow_b[i : i + 1]], axis=0
+                ),
+            )
+            a_parts.append(pair[0:1])
+            b_parts.append(pair[1:2])
+        return (jnp.concatenate(a_parts, axis=0),
+                jnp.concatenate(b_parts, axis=0))
+
+    def body(args):
+        bi, fa, fb = args
+        pair = warp_multi_fn(bi[None], jnp.stack([fa, fb], axis=0))
+        return pair[0], pair[1]
+
+    return jax.lax.map(body, (input_b, flow_a, flow_b))
 
 
 # Original channel counts of the stage-2 concat blocks
@@ -294,26 +334,9 @@ def apply_flownet2(params, inputs, training: bool = False,
         # (tests/test_models.py S2D equivalences).
         flow_css_s2d = _stage_flow_s2d(preds_css, in_h, in_w)
         flow_sd_s2d = _stage_flow_s2d(preds_sd, in_h, in_w)
-        if n == 1:
-            warped_pair = stack_warp_multi_s2d_enc(
-                input_b,
-                jnp.concatenate([flow_css_s2d, flow_sd_s2d], axis=0),
-            )
-            warped_css_s2d, warped_sd_s2d = jnp.split(warped_pair, 2, axis=0)
-        else:
-            css_parts, sd_parts = [], []
-            for i in range(n):
-                pair = stack_warp_multi_s2d_enc(
-                    input_b[i : i + 1],
-                    jnp.concatenate(
-                        [flow_css_s2d[i : i + 1], flow_sd_s2d[i : i + 1]],
-                        axis=0,
-                    ),
-                )
-                css_parts.append(pair[0:1])
-                sd_parts.append(pair[1:2])
-            warped_css_s2d = jnp.concatenate(css_parts, axis=0)
-            warped_sd_s2d = jnp.concatenate(sd_parts, axis=0)
+        warped_css_s2d, warped_sd_s2d = _double_warp_batched(
+            stack_warp_multi_s2d_enc, input_b, flow_css_s2d, flow_sd_s2d
+        )
 
         a_s2d = common.space_to_depth(input_a)
 
@@ -345,24 +368,9 @@ def apply_flownet2(params, inputs, training: bool = False,
         )
         fusion = FUSION[2:]
     else:
-        if n == 1:
-            warped_pair = stack_warp_multi(
-                input_b, jnp.concatenate([flow_css, flow_sd], axis=0)
-            )
-            warped_css, warped_sd = jnp.split(warped_pair, 2, axis=0)
-        else:
-            css_parts, sd_parts = [], []
-            for i in range(n):
-                pair = stack_warp_multi(
-                    input_b[i : i + 1],
-                    jnp.concatenate(
-                        [flow_css[i : i + 1], flow_sd[i : i + 1]], axis=0
-                    ),
-                )
-                css_parts.append(pair[0:1])
-                sd_parts.append(pair[1:2])
-            warped_css = jnp.concatenate(css_parts, axis=0)
-            warped_sd = jnp.concatenate(sd_parts, axis=0)
+        warped_css, warped_sd = _double_warp_batched(
+            stack_warp_multi, input_b, flow_css, flow_sd
+        )
 
         def branch_features(warped, flow):
             err = common.channel_norm(input_a - warped.astype(input_a.dtype))

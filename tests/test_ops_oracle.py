@@ -482,3 +482,28 @@ def test_channel_norm_s2d_matches_full_res(rng):
         common.space_to_depth(common.channel_norm(x))
     )
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_double_warp_batched_rolls_into_lax_map(rng):
+    """models/stacks._double_warp_batched: above the sampling unroll
+    threshold the per-sample double warp rolls into one lax.map body;
+    outputs must equal independent per-sample shared-table warps."""
+    from flownet2_tf_tpu.models.stacks import _double_warp_batched
+    from flownet2_tf_tpu.ops.flow_warp import stack_warp_multi
+    from flownet2_tf_tpu.ops.sampling import _UNROLL_MAX_SAMPLES
+
+    n = _UNROLL_MAX_SAMPLES + 4  # force the lax.map branch
+    img = jnp.asarray(rng.rand(n, 16, 16, 3).astype(np.float32))
+    fa = jnp.asarray(rng.randn(n, 16, 16, 2).astype(np.float32) * 2)
+    fb = jnp.asarray(rng.randn(n, 16, 16, 2).astype(np.float32) * 2)
+    wa, wb = _double_warp_batched(stack_warp_multi, img, fa, fb)
+    assert wa.shape == img.shape and wb.shape == img.shape
+    for i in range(n):
+        pair = stack_warp_multi(
+            img[i : i + 1], jnp.concatenate([fa[i : i + 1],
+                                             fb[i : i + 1]], axis=0)
+        )
+        np.testing.assert_allclose(np.asarray(wa[i]), np.asarray(pair[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(wb[i]), np.asarray(pair[1]),
+                                   atol=1e-6)
