@@ -36,6 +36,12 @@ import numpy as np
 FORMAT_VERSION = 1
 
 
+def _bf16_dtype():
+    import ml_dtypes
+
+    return np.dtype(ml_dtypes.bfloat16)
+
+
 def _serving_forward(model_name: str, compute_dtype: str):
     """Build fn(params, a, b) -> (N,H,W,2) flow for export."""
     import jax.numpy as jnp
@@ -142,6 +148,16 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
         exported = jexport.export(jitted, **kwargs)(p_spec, img, img)
 
     flat = warmstart.flatten(jax.tree.map(np.asarray, params))
+    # numpy has no native bfloat16: savez would round-trip bf16 leaves
+    # as opaque void-2 ('|V2') that jax rejects. Store them as uint16
+    # bit patterns with a manifest; load_serving views them back.
+    bf16_leaves = sorted(
+        k for k, v in flat.items() if v.dtype == _bf16_dtype()
+    )
+    flat = {
+        k: (v.view(np.uint16) if k in set(bf16_leaves) else v)
+        for k, v in flat.items()
+    }
     params_buf = io.BytesIO()
     np.savez(params_buf, **flat)
 
@@ -155,6 +171,7 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
         "warp_mode": warp_mode,
         "platforms": list(exported.platforms),
         "data_parallel": dp,
+        "bf16_leaves": bf16_leaves,
     }
     out_path = os.fspath(out_path)
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
@@ -251,5 +268,8 @@ def load_serving(path):
             raise ValueError(f"unsupported .flowpak version: {meta}")
         exported = jexport.deserialize(z.read("exported.bin"))
         with np.load(io.BytesIO(z.read("params.npz"))) as npz:
-            params = warmstart.unflatten(dict(npz))
+            flat = dict(npz)
+        for k in meta.get("bf16_leaves", ()):
+            flat[k] = flat[k].view(_bf16_dtype())
+        params = warmstart.unflatten(flat)
     return ServingModel(exported, params, meta)

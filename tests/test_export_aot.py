@@ -91,6 +91,33 @@ def test_data_parallel_export_matches_single_device(tmp_path, s_params):
                            batch=4, data_parallel=8)
 
 
+def test_bf16_serving_preset_roundtrips(tmp_path, s_params):
+    """The serving preset pre-casts params to bf16; numpy savez would
+    round-trip them as opaque void-2. The artifact stores bf16 leaves
+    as uint16 bit patterns + a manifest and must reproduce the direct
+    bf16 forward exactly."""
+    from flownet2_tf_tpu.models.common import cast_params_for_inference
+    from flownet2_tf_tpu.training.infer import infer_flow
+
+    path = tmp_path / "s_bf16.flowpak"
+    meta = aot.export_serving("s", s_params, 64, 64, path,
+                              compute_dtype="bfloat16", warp_mode="full")
+    assert meta["bf16_leaves"], "serving preset should have bf16 leaves"
+    sm = aot.load_serving(path)
+    import jax.numpy as jnp
+
+    got_leaf = jax.tree_util.tree_leaves(sm._params)[0]
+    assert got_leaf.dtype == jnp.bfloat16
+    rng = np.random.RandomState(8)
+    a = rng.rand(1, 64, 64, 3).astype(np.float32)
+    b = rng.rand(1, 64, 64, 3).astype(np.float32)
+    got = sm(a, b)
+    ref = np.asarray(infer_flow(
+        "s", cast_params_for_inference(s_params), a, b,
+        compute_dtype="bfloat16"))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_multi_platform_export_runs_on_cpu(tmp_path):
     """platforms=['cpu','tpu'] lowers both ahead of time (no TPU needed
     at export); correlation dispatch is pinned to the platform-
