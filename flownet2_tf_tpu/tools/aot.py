@@ -7,8 +7,10 @@ forward is lowered to StableHLO *ahead of time* and serialized together
 with the weights into one ``.flowpak`` zip:
 
     exported.bin   jax.export artifact for fn(params, image_a, image_b)
-    params.npz     flat weight arrays (warmstart.flatten naming)
-    meta.json      model name, shapes, dtype, warp mode, platforms
+    params.npz     flat weight arrays (warmstart.flatten naming; bf16
+                   leaves stored as uint16 bit patterns)
+    meta.json      model, shapes, dtype, warp mode, platforms,
+                   data_parallel degree, bf16-leaf manifest
 
 ``load_serving`` restores the artifact WITHOUT touching the model
 registry or any flownet2_tf_tpu model code — the compute graph is
@@ -120,7 +122,7 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
                 f"data_parallel={dp} but only {len(jax.devices())} "
                 "devices visible at export"
             )
-        mesh, repl, batched = _serving_mesh(dp)
+        _, repl, batched = _serving_mesh(dp)
         jitted = jax.jit(fn, in_shardings=(repl, batched, batched),
                          out_shardings=batched)
     else:
