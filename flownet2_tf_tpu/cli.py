@@ -206,7 +206,7 @@ def cmd_eval(args):
     aee = evaluate_dataset(
         args.model, params, dataset,
         compute_dtype=args.compute_dtype, limit=args.limit,
-        verbose=args.verbose,
+        verbose=args.verbose, batch_size=args.eval_batch,
     )
     print(json.dumps({
         "model": args.model, "dataset": args.dataset,
@@ -501,6 +501,9 @@ def build_parser():
                    choices=["clean", "final"])
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--eval_batch", type=int, default=1,
+                   help="batch pairs within a %%64 shape bucket "
+                        "(metric unchanged; batching pays on TPU)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["bfloat16", "float32"])
     p.set_defaults(fn=cmd_eval)

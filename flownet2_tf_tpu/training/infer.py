@@ -148,7 +148,11 @@ def _aee_on_device(model_name, params, batch, compute_dtype_name,
         jnp.sum(jnp.square(preds["flow"] - batch["flow"]), axis=-1) + 1e-12
     )
     valid = batch["valid"]
-    return jnp.sum(epe * valid), jnp.sum(valid)
+    # per-sample sums: the dataset metric is the mean of per-PAIR AEEs
+    # (reference convention), so samples must stay separable even when
+    # bucket-batched; a zero-valid padding sample contributes count 0.
+    return (jnp.sum(epe * valid, axis=(1, 2)),
+            jnp.sum(valid, axis=(1, 2)))
 
 
 def _bucket_batch(item, multiple=64):
@@ -181,7 +185,7 @@ def _bucket_batch(item, multiple=64):
 
 
 def evaluate_dataset(model_name, params, dataset, compute_dtype="float32",
-                     limit=None, verbose=False):
+                     limit=None, verbose=False, batch_size=1):
     """Average endpoint error over a dataset of {image_a, image_b, flow}.
 
     Honors KITTI validity masks ((H, W, 3) ground truth). This is the
@@ -189,6 +193,10 @@ def evaluate_dataset(model_name, params, dataset, compute_dtype="float32",
     [fork-delta]). The AEE reduction runs on device; only per-pair
     scalars are fetched, and inputs are padded to %64 shape buckets so
     mixed-size datasets compile O(buckets) times.
+
+    ``batch_size`` > 1 batches pairs WITHIN a bucket (batching pays on
+    TPU: serving sweep +11% at b8); the metric is unchanged — per-pair
+    AEEs averaged, tail batches padded with zero-valid samples.
     """
     n = len(dataset) if limit is None else min(limit, len(dataset))
     if str(compute_dtype) == "bfloat16":
@@ -198,15 +206,43 @@ def evaluate_dataset(model_name, params, dataset, compute_dtype="float32",
         from flownet2_tf_tpu.models.common import cast_params_for_inference
 
         params = cast_params_for_inference(params)
+    batch_size = max(1, int(batch_size))
     aee_sum = 0.0
-    for i in range(n):
-        batch = _bucket_batch(dataset[i])
-        total, count = _aee_on_device(
+    seen = 0
+
+    def flush(items):
+        nonlocal aee_sum, seen
+        k = len(items)
+        if k < batch_size:
+            # pad the tail with zero-valid copies: same compiled shape,
+            # zero contribution to the per-sample counts
+            pad = {key: items[0][key] for key in items[0]}
+            pad = dict(pad, valid=jnp.zeros_like(items[0]["valid"]))
+            items = items + [pad] * (batch_size - k)
+        batch = {
+            key: jnp.concatenate([it[key] for it in items], axis=0)
+            for key in items[0]
+        }
+        totals, counts = _aee_on_device(
             model_name, params, batch, str(compute_dtype),
             dispatch.trace_signature(),
         )
-        aee = float(total) / max(float(count), 1.0)
-        aee_sum += aee
-        if verbose:
-            print(f"  [{i + 1}/{n}] AEE {aee:.4f}")
+        totals = np.asarray(totals)[:k]
+        counts = np.asarray(counts)[:k]
+        for t, c in zip(totals, counts):
+            seen += 1
+            aee = float(t) / max(float(c), 1.0)
+            aee_sum += aee
+            if verbose:
+                print(f"  [{seen}/{n}] AEE {aee:.4f}")
+
+    pending = {}  # bucket shape -> list of single-pair padded batches
+    for i in range(n):
+        item = _bucket_batch(dataset[i])
+        key = item["input_a"].shape[1:3]
+        pending.setdefault(key, []).append(item)
+        if len(pending[key]) == batch_size:
+            flush(pending.pop(key))
+    for items in pending.values():
+        flush(items)
     return aee_sum / max(n, 1)

@@ -448,3 +448,32 @@ def test_convert_semantic_canary(tmp_path):
     np.savez(bad, **{k: v * 1e4 for k, v in flat.items()})
     with pytest.raises(ValueError, match="semantic canary FAILED"):
         semantic_canary(str(bad), "s", sample_dir=samples)
+
+
+def test_bucket_batched_eval_matches_per_pair():
+    """evaluate_dataset(batch_size=3) over a ragged dataset (2 buckets,
+    bucket sizes not divisible by 3 -> zero-valid tail padding) must
+    equal the per-pair evaluation exactly: the metric is the mean of
+    per-PAIR AEEs and samples stay separable on device."""
+    class Ragged:
+        sizes = [(60, 60), (64, 64), (57, 62), (100, 62), (64, 64),
+                 (62, 58), (100, 64)]  # bucket 64x64 x5, 128x64 x2
+
+        def __len__(self):
+            return len(self.sizes)
+
+        def __getitem__(self, i):
+            h, w = self.sizes[i]
+            r = np.random.RandomState(100 + i)
+            return {
+                "image_a": r.rand(h, w, 3).astype(np.float32),
+                "image_b": r.rand(h, w, 3).astype(np.float32),
+                "flow": r.randn(h, w, 2).astype(np.float32),
+            }
+
+    from flownet2_tf_tpu.training import infer
+
+    params = get_model("s").init(jax.random.PRNGKey(3))
+    a1 = infer.evaluate_dataset("s", params, Ragged())
+    a3 = infer.evaluate_dataset("s", params, Ragged(), batch_size=3)
+    np.testing.assert_allclose(a3, a1, rtol=1e-6)
