@@ -329,6 +329,8 @@ def cmd_export(args):
             batch=args.batch, compute_dtype=args.compute_dtype,
             warp_mode=args.warp_mode, platforms=platforms,
             data_parallel=args.data_parallel,
+            spatial_tiles=args.spatial_tiles,
+            spatial_overlap=args.spatial_overlap,
         )
         print(json.dumps({"out": args.out, **meta}))
         return 0
@@ -596,6 +598,13 @@ def build_parser():
              "mesh (params replicated, batch split); needs batch %% N "
              "== 0 and N devices at export and load",
     )
+    p.add_argument(
+        "--spatial_tiles", type=int, default=0,
+        help="freeze halo-banded spatial parallelism into the artifact "
+             "(one H-band per chip, batch=1; exclusive with "
+             "--data_parallel)",
+    )
+    p.add_argument("--spatial_overlap", type=int, default=128)
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser(

@@ -74,9 +74,36 @@ def _serving_mesh(n):
     return mesh, NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
 
 
+def _spatial_serving_forward(model_name, compute_dtype, n_tiles, overlap,
+                             batched_sharding):
+    """fn(params, a, b) with halo-banded H-tiling inside the graph:
+    bands ride the batch axis, constrained to one-band-per-device
+    (parallel/spatial.py construction, frozen into the artifact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flownet2_tf_tpu.models.registry import get_model
+    from flownet2_tf_tpu.parallel.spatial import extract_tiles, stitch_tiles
+
+    m = get_model(model_name)
+    cd = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+
+    def fn(params, image_a, image_b):
+        ta, core, offsets, h = extract_tiles(image_a, n_tiles, overlap)
+        tb, _, _, _ = extract_tiles(image_b, n_tiles, overlap)
+        ta = jax.lax.with_sharding_constraint(ta, batched_sharding)
+        tb = jax.lax.with_sharding_constraint(tb, batched_sharding)
+        preds = m.apply(params, {"input_a": ta, "input_b": tb},
+                        compute_dtype=cd)
+        return stitch_tiles(preds["flow"], core, offsets, h)
+
+    return fn
+
+
 def export_serving(model_name, params, height, width, out_path, batch=1,
                    compute_dtype="bfloat16", warp_mode="half",
-                   platforms=None, data_parallel=0):
+                   platforms=None, data_parallel=0, spatial_tiles=0,
+                   spatial_overlap=128):
     """Export one compiled serving forward to ``out_path`` (.flowpak).
 
     ``warp_mode='half'`` bakes the half-res stack-warp serving preset
@@ -90,6 +117,13 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
     — so a multi-chip serving host loads ONE artifact and feeds full
     batches; requires ``batch % N == 0`` and N visible devices both at
     export and at load.
+
+    ``spatial_tiles=N`` (N > 1, batch must be 1, exclusive with
+    data_parallel) instead freezes halo-banded spatial parallelism into
+    the artifact: the frame is H-tiled inside the graph, one band per
+    chip, band cores stitched back — big-frame multi-chip serving from
+    one artifact (approximation decays with ``spatial_overlap``;
+    docs/DESIGN.md seam table).
     """
     import jax
     from jax import export as jexport
@@ -109,23 +143,36 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
 
         params = cast_params_for_inference(params)
 
-    fn = _serving_forward(model_name, compute_dtype)
-
     dp = int(data_parallel) if data_parallel else 0
-    if dp > 1:
+    sp = int(spatial_tiles) if spatial_tiles else 0
+    if dp > 1 and sp > 1:
+        raise ValueError("data_parallel and spatial_tiles are exclusive")
+    n_devices = max(dp, sp)
+    if n_devices > 1 and len(jax.devices()) < n_devices:
+        raise ValueError(
+            f"need {n_devices} devices visible at export; have "
+            f"{len(jax.devices())}"
+        )
+    if sp > 1:
+        if batch != 1:
+            raise ValueError("spatial_tiles serving is single-pair "
+                             f"(batch=1); got batch={batch}")
+        _, repl, batched = _serving_mesh(sp)
+        fn = _spatial_serving_forward(model_name, compute_dtype, sp,
+                                      spatial_overlap, batched)
+        jitted = jax.jit(fn, in_shardings=(repl, repl, repl),
+                         out_shardings=repl)
+    elif dp > 1:
         if batch % dp:
             raise ValueError(
                 f"data_parallel={dp} needs batch % {dp} == 0: got {batch}"
             )
-        if len(jax.devices()) < dp:
-            raise ValueError(
-                f"data_parallel={dp} but only {len(jax.devices())} "
-                "devices visible at export"
-            )
+        fn = _serving_forward(model_name, compute_dtype)
         _, repl, batched = _serving_mesh(dp)
         jitted = jax.jit(fn, in_shardings=(repl, batched, batched),
                          out_shardings=batched)
     else:
+        fn = _serving_forward(model_name, compute_dtype)
         jitted = jax.jit(fn)
 
     with contextlib.ExitStack() as stack:
@@ -173,6 +220,8 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
         "warp_mode": warp_mode,
         "platforms": list(exported.platforms),
         "data_parallel": dp,
+        "spatial_tiles": sp,
+        "spatial_overlap": int(spatial_overlap) if sp else 0,
         "bf16_leaves": bf16_leaves,
     }
     out_path = os.fspath(out_path)
@@ -195,20 +244,26 @@ class ServingModel:
         self.meta = meta
         self._dp_call = None
         dp = meta.get("data_parallel", 0)
-        if dp > 1:
+        sp = meta.get("spatial_tiles", 0)
+        n_devices = max(dp, sp)
+        if n_devices > 1:
             import jax
 
-            if len(jax.devices()) < dp:
+            if len(jax.devices()) < n_devices:
                 raise ValueError(
-                    f"artifact was exported data_parallel={dp} but only "
-                    f"{len(jax.devices())} devices are visible"
+                    f"artifact needs {n_devices} devices "
+                    f"({'data_parallel' if dp > 1 else 'spatial_tiles'});"
+                    f" only {len(jax.devices())} visible"
                 )
-            _, repl, self._batched = _serving_mesh(dp)
+            _, repl, batched = _serving_mesh(n_devices)
             # params live replicated on the mesh for the artifact's
-            # lifetime; per-call work is just the sharded batch put
+            # lifetime; per-call work is just the input put (batch
+            # sharded for DP, full frame replicated for spatial)
+            self._in_sharding = batched if dp > 1 else repl
+            self._out_sharding = batched if dp > 1 else repl
             self._params = jax.device_put(params, repl)
             self._dp_call = jax.jit(exported.call,
-                                    out_shardings=self._batched)
+                                    out_shardings=self._out_sharding)
 
     def __call__(self, image_a, image_b):
         a = np.asarray(image_a, np.float32)
@@ -224,8 +279,8 @@ class ServingModel:
         if self._dp_call is not None:
             import jax
 
-            a = jax.device_put(a, self._batched)
-            b = jax.device_put(b, self._batched)
+            a = jax.device_put(a, self._in_sharding)
+            b = jax.device_put(b, self._in_sharding)
             return np.asarray(self._dp_call(self._params, a, b))
         return np.asarray(self._exported.call(self._params, a, b))
 

@@ -136,6 +136,32 @@ def test_multi_platform_export_runs_on_cpu(tmp_path):
     assert flow.shape == (1, 64, 64, 2) and np.isfinite(flow).all()
 
 
+def test_spatial_tiles_export_matches_library_path(tmp_path, s_params):
+    """A spatial_tiles=8 artifact (one H-band per device, stitched in
+    the graph) must reproduce parallel.spatial.infer_flow_spatial
+    exactly — same construction, frozen into StableHLO."""
+    from flownet2_tf_tpu.parallel.spatial import infer_flow_spatial
+
+    H, W, OV = 512, 64, 32
+    path = tmp_path / "s_sp8.flowpak"
+    meta = aot.export_serving("s", s_params, H, W, path,
+                              compute_dtype="float32", warp_mode="full",
+                              spatial_tiles=8, spatial_overlap=OV)
+    assert meta["spatial_tiles"] == 8
+    sm = aot.load_serving(path)
+    rng = np.random.RandomState(9)
+    a = rng.rand(H, W, 3).astype(np.float32)
+    b = rng.rand(H, W, 3).astype(np.float32)
+    got = sm(a[None], b[None])[0]
+    ref = infer_flow_spatial("s", s_params, a, b, n_tiles=8, overlap=OV,
+                             compute_dtype="float32")
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1e-5)
+
+    with pytest.raises(ValueError, match="exclusive"):
+        aot.export_serving("s", s_params, H, W, tmp_path / "x.flowpak",
+                           data_parallel=2, spatial_tiles=2)
+
+
 def test_export_validates_mod64(tmp_path, s_params):
     with pytest.raises(ValueError, match="multiples of 64"):
         aot.export_serving("s", s_params, 60, 64, tmp_path / "x.flowpak")
