@@ -86,9 +86,35 @@ def test_data_parallel_export_matches_single_device(tmp_path, s_params):
                                 compute_dtype="float32"))
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
+    # single-pair serving through a batched DP artifact: broadcast up,
+    # crop back — row 0 must equal the batch-call row 0
+    single = sm.infer_pair(a[0], b[0])
+    np.testing.assert_allclose(single, got[0], atol=1e-6)
+
     with pytest.raises(ValueError, match="batch %"):
         aot.export_serving("s", s_params, 64, 64, tmp_path / "x.flowpak",
                            batch=4, data_parallel=8)
+
+
+def test_load_rejects_unknown_format_version(tmp_path, s_params):
+    import json as _json
+    import zipfile
+
+    path = tmp_path / "s.flowpak"
+    aot.export_serving("s", s_params, 64, 64, path,
+                       compute_dtype="float32", warp_mode="full")
+    bad = tmp_path / "bad.flowpak"
+    with zipfile.ZipFile(path) as zin, \
+            zipfile.ZipFile(bad, "w") as zout:
+        for name in zin.namelist():
+            data = zin.read(name)
+            if name == "meta.json":
+                meta = _json.loads(data)
+                meta["format_version"] = 999
+                data = _json.dumps(meta)
+            zout.writestr(name, data)
+    with pytest.raises(ValueError, match="version"):
+        aot.load_serving(bad)
 
 
 def test_bf16_serving_preset_roundtrips(tmp_path, s_params):
