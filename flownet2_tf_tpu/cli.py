@@ -390,24 +390,18 @@ def cmd_info(args):
 def cmd_serve(args):
     """Run a .flowpak artifact on an image pair — no model code on the
     serving path; the graph lives in the artifact (tools/aot.py)."""
-    import os
-
     from flownet2_tf_tpu.tools.aot import load_serving
-    from flownet2_tf_tpu.training.infer import load_image_pair
-    from flownet2_tf_tpu.utils import flowlib
+    from flownet2_tf_tpu.training.infer import (
+        load_image_pair,
+        write_flow_outputs,
+    )
 
     model = load_serving(args.artifact)
     a, b = load_image_pair(args.input_a, args.input_b)
     flow = model.infer_pair(a, b)
-    os.makedirs(args.out, exist_ok=True)
-    stem = os.path.join(
-        args.out,
-        os.path.splitext(os.path.basename(args.input_a))[0] + "_flow",
-    )
-    if not args.no_flo:
-        flowlib.write_flow(flow, stem + ".flo")
-    if not args.no_image:
-        flowlib.write_flow_png(flow, stem + ".png")
+    write_flow_outputs(flow, args.out, args.input_a,
+                       save_flo=not args.no_flo,
+                       save_image=not args.no_image)
     print(json.dumps({
         "artifact": args.artifact,
         **{k: model.meta[k] for k in ("model", "compute_dtype",

@@ -53,11 +53,6 @@ def _double_warp_batched(warp_multi_fn, input_b, flow_a, flow_b):
     subgraphs (ADVICE r2).
     """
     n = input_b.shape[0]
-    if n == 1:
-        pair = warp_multi_fn(
-            input_b, jnp.concatenate([flow_a, flow_b], axis=0)
-        )
-        return pair[0:1], pair[1:2]
     if n <= _UNROLL_MAX_SAMPLES:
         a_parts, b_parts = [], []
         for i in range(n):

@@ -203,8 +203,9 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
     bf16_leaves = sorted(
         k for k, v in flat.items() if v.dtype == _bf16_dtype()
     )
+    bf16_set = set(bf16_leaves)
     flat = {
-        k: (v.view(np.uint16) if k in set(bf16_leaves) else v)
+        k: (v.view(np.uint16) if k in bf16_set else v)
         for k, v in flat.items()
     }
     params_buf = io.BytesIO()

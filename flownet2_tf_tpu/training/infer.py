@@ -110,9 +110,19 @@ def test_pair(model_name, checkpoint, input_a_path, input_b_path, out_dir,
     else:
         flow = infer_flow(model_name, params, a, b,
                           compute_dtype=compute_dtype)
+    write_flow_outputs(flow, out_dir, input_a_path,
+                       save_flo=save_flo, save_image=save_image)
+    return flow
+
+
+def write_flow_outputs(flow, out_dir, input_a_path, save_flo=True,
+                       save_image=True):
+    """Reference output convention: <out>/<stem(input_a)>_flow.{flo,png}.
+
+    Shared by the `test` and `serve` CLI paths; returns the stem."""
     os.makedirs(out_dir, exist_ok=True)
     stem = os.path.join(
-        out_dir,
+        os.fspath(out_dir),
         os.path.splitext(os.path.basename(os.fspath(input_a_path)))[0]
         + "_flow",
     )
@@ -120,7 +130,7 @@ def test_pair(model_name, checkpoint, input_a_path, input_b_path, out_dir,
         flowlib.write_flow(flow, stem + ".flo")
     if save_image:
         flowlib.write_flow_png(flow, stem + ".png")
-    return flow
+    return stem
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
@@ -196,7 +206,7 @@ def evaluate_dataset(model_name, params, dataset, compute_dtype="float32",
 
     ``batch_size`` > 1 batches pairs WITHIN a bucket (batching pays on
     TPU: serving sweep +11% at b8); the metric is unchanged — per-pair
-    AEEs averaged, tail batches padded with zero-valid samples.
+    AEEs averaged; tail batches run at their true (smaller) size.
     """
     n = len(dataset) if limit is None else min(limit, len(dataset))
     if str(compute_dtype) == "bfloat16":
@@ -213,12 +223,10 @@ def evaluate_dataset(model_name, params, dataset, compute_dtype="float32",
     def flush(items):
         nonlocal aee_sum, seen
         k = len(items)
-        if k < batch_size:
-            # pad the tail with zero-valid copies: same compiled shape,
-            # zero contribution to the per-sample counts
-            pad = {key: items[0][key] for key in items[0]}
-            pad = dict(pad, valid=jnp.zeros_like(items[0]["valid"]))
-            items = items + [pad] * (batch_size - k)
+        # tail batches run at their TRUE size — one extra compile per
+        # bucket at most (vs padding to batch_size, which costs up to
+        # batch_size-1 redundant forwards per bucket on sparse buckets,
+        # the exact KITTI size-jitter case bucketing exists for)
         batch = {
             key: jnp.concatenate([it[key] for it in items], axis=0)
             for key in items[0]

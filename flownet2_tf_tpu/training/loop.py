@@ -443,9 +443,24 @@ class Trainer:
         # exact and free). Loaders without start_batch resume from the
         # stream head, as the reference's queue runners did.
         start_step = int(jax.device_get(state["step"]))
+        import inspect
+
         try:
+            accepts_start = "start_batch" in inspect.signature(
+                loader.batches
+            ).parameters
+        except (TypeError, ValueError):
+            accepts_start = False
+        if accepts_start:
             probe_iter = loader.batches(start_batch=start_step)
-        except TypeError:
+        else:
+            if start_step:
+                print(
+                    "warning: loader.batches() has no start_batch — "
+                    f"resume at step {start_step} replays the stream "
+                    "from its head (not sample-exact)",
+                    flush=True,
+                )
             probe_iter = loader.batches()
         first_batch = next(probe_iter, None)
         if first_batch is not None:
