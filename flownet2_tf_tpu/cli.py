@@ -203,17 +203,61 @@ def cmd_eval(args):
 
     dataset = _make_eval_dataset(args)
     params = load_params(args.ckpt)
-    aee = evaluate_dataset(
-        args.model, params, dataset,
-        compute_dtype=args.compute_dtype, limit=args.limit,
-        verbose=args.verbose, batch_size=args.eval_batch,
-    )
+    if args.save_outputs:
+        aee, n = _eval_saving_outputs(args, dataset, params)
+    else:
+        aee = evaluate_dataset(
+            args.model, params, dataset,
+            compute_dtype=args.compute_dtype, limit=args.limit,
+            verbose=args.verbose, batch_size=args.eval_batch,
+        )
+        n = min(len(dataset), args.limit or len(dataset))
     print(json.dumps({
         "model": args.model, "dataset": args.dataset,
-        "pairs": min(len(dataset), args.limit or len(dataset)),
+        "pairs": n,
         "aee": aee,
+        **({"outputs": args.save_outputs} if args.save_outputs else {}),
     }))
     return 0
+
+
+def _eval_saving_outputs(args, dataset, params):
+    """One pass that FETCHES each predicted flow (host-side masked AEE)
+    and writes <dir>/NNNNNN_flow.{flo,png} + KITTI 16-bit PNGs when the
+    GT carries a validity channel. Slower than the on-device AEE path
+    (full flow fields cross to the host) — only for --save_outputs."""
+    import os
+
+    import numpy as np
+
+    from flownet2_tf_tpu.training.infer import infer_flow
+    from flownet2_tf_tpu.utils import flowlib
+
+    os.makedirs(args.save_outputs, exist_ok=True)
+    n = min(len(dataset), args.limit or len(dataset))
+    aee_sum = 0.0
+    for i in range(n):
+        item = dataset[i]
+        flow = infer_flow(args.model, params, item["image_a"],
+                          item["image_b"], compute_dtype=args.compute_dtype)
+        gt = np.asarray(item["flow"], np.float32)
+        if gt.shape[-1] == 3:  # KITTI [u, v, valid]
+            valid = gt[..., 2]
+            gt = gt[..., :2]
+        else:
+            valid = np.ones(gt.shape[:2], np.float32)
+        epe = np.sqrt(((flow - gt) ** 2).sum(-1)) * valid
+        aee = float(epe.sum()) / max(float(valid.sum()), 1.0)
+        aee_sum += aee
+        stem = os.path.join(args.save_outputs, f"{i:06d}_flow")
+        flowlib.write_flow(flow, stem + ".flo")
+        flowlib.write_flow_png(flow, stem + ".png")
+        if item["flow"].shape[-1] == 3:
+            # KITTI-benchmark submission format
+            flowlib.write_kitti_png_flow(flow, stem + "_kitti.png")
+        if args.verbose:
+            print(f"  [{i + 1}/{n}] AEE {aee:.4f} -> {stem}")
+    return aee_sum / max(n, 1), n
 
 
 def _make_eval_dataset(args):
@@ -500,6 +544,11 @@ def build_parser():
     p.add_argument("--eval_batch", type=int, default=1,
                    help="batch pairs within a %%64 shape bucket "
                         "(metric unchanged; batching pays on TPU)")
+    p.add_argument("--save_outputs", default=None,
+                   help="also write each predicted flow to this dir "
+                        "(.flo + .png, + KITTI 16-bit PNG for masked "
+                        "GT); fetches full flows — slower than the "
+                        "on-device AEE path")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["bfloat16", "float32"])
     p.set_defaults(fn=cmd_eval)

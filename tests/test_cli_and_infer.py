@@ -477,3 +477,28 @@ def test_bucket_batched_eval_matches_per_pair():
     a1 = infer.evaluate_dataset("s", params, Ragged())
     a3 = infer.evaluate_dataset("s", params, Ragged(), batch_size=3)
     np.testing.assert_allclose(a3, a1, rtol=1e-6)
+
+
+def test_cli_eval_save_outputs(tmp_path, capsys):
+    """--save_outputs writes per-pair .flo/.png and reports the same AEE
+    as the on-device path (host-side masked AEE, one pass)."""
+    ckpt = _save_random_ckpt(tmp_path)
+    out = tmp_path / "flows"
+    rc = cli.main([
+        "eval", "--model", "s", "--ckpt", ckpt,
+        "--dataset", "synthetic", "--limit", "2",
+        "--save_outputs", str(out),
+    ])
+    assert rc == 0
+    saved = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rc = cli.main([
+        "eval", "--model", "s", "--ckpt", ckpt,
+        "--dataset", "synthetic", "--limit", "2",
+    ])
+    assert rc == 0
+    plain = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert saved["aee"] == pytest.approx(plain["aee"], rel=1e-4)
+    for i in range(2):
+        flow = flowlib.read_flow(out / f"{i:06d}_flow.flo")
+        assert np.isfinite(flow).all()
+        assert (out / f"{i:06d}_flow.png").exists()
