@@ -226,7 +226,10 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
         "bf16_leaves": bf16_leaves,
     }
     out_path = os.fspath(out_path)
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+    # compresslevel=1: float weights are near-incompressible; higher
+    # levels cost ~5s/150MB of export (and test) time for ~nothing
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED,
+                         compresslevel=1) as z:
         z.writestr("exported.bin", exported.serialize())
         z.writestr("params.npz", params_buf.getvalue())
         z.writestr("meta.json", json.dumps(meta, indent=1))
