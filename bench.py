@@ -37,12 +37,11 @@ def _timed_scan_call(fn, n):
 def run_bench(model="2", height=448, width=1024, batch=1, iters=16,
               compute_dtype="bfloat16", repeats=2, warp_mode=None):
     import contextlib
-    import functools
     import os
 
-    import jax
-
     from flownet2_tf_tpu.tools.benchlib import enable_compilation_cache
+
+    from flownet2_tf_tpu.ops import dispatch
 
     enable_compilation_cache()
     if warp_mode is None:
@@ -52,16 +51,26 @@ def run_bench(model="2", height=448, width=1024, batch=1, iters=16,
         # FLOWNET2_TPU_BENCH_FULLRES=1 opts back into exact warps.
         full = os.environ.get("FLOWNET2_TPU_BENCH_FULLRES", "0") == "1"
         warp_mode = "full" if (full or compute_dtype != "bfloat16") else "half"
+
+    # `with` (not an ExitStack closed at the end): an exception
+    # mid-measurement must not leak the thread-local half-res-warp
+    # override into the caller's subsequent (possibly exact-warp) runs.
+    with contextlib.ExitStack() as stack:
+        if warp_mode == "half":
+            stack.enter_context(dispatch.use_half_res_warp(True))
+        return _measure(model, height, width, batch, iters, compute_dtype,
+                        repeats, warp_mode)
+
+
+def _measure(model, height, width, batch, iters, compute_dtype, repeats,
+             warp_mode):
+    import functools
+
+    import jax
     import jax.numpy as jnp
     from jax import lax
 
     from flownet2_tf_tpu.models.registry import get_model
-
-    from flownet2_tf_tpu.ops import dispatch
-
-    stack = contextlib.ExitStack()
-    if warp_mode == "half":
-        stack.enter_context(dispatch.use_half_res_warp(True))
 
     m = get_model(model)
     params = m.init(jax.random.PRNGKey(0))
@@ -149,7 +158,6 @@ def run_bench(model="2", height=448, width=1024, batch=1, iters=16,
             result["hbm_gb_physical_ceiling"] = round(
                 best * peak_bw / 1e9, 3
             )
-    stack.close()
     return result
 
 

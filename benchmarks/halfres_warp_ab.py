@@ -43,22 +43,10 @@ CKPT = os.path.abspath(
 def load_trained_params():
     import orbax.checkpoint as ocp
 
-    import jax
-    from flownet2_tf_tpu.models.registry import get_model
-
     mgr = ocp.CheckpointManager(os.path.join(CKPT, "checkpoints"))
     step = mgr.latest_step()
     if step is None:
         return None
-    model = get_model("2")
-    abstract = jax.tree_util.tree_map(
-        np.asarray,
-        jax.device_get(
-            {"params": model.init(jax.random.PRNGKey(0)),
-             "opt_state": None, "step": None}
-        ),
-        is_leaf=lambda x: x is None,
-    )
     # restore params only (opt_state shape depends on the optimizer)
     restored = mgr.restore(step)
     return restored["params"]

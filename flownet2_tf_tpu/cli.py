@@ -225,7 +225,12 @@ def _eval_saving_outputs(args, dataset, params):
     """One pass that FETCHES each predicted flow (host-side masked AEE)
     and writes <dir>/NNNNNN_flow.{flo,png} + KITTI 16-bit PNGs when the
     GT carries a validity channel. Slower than the on-device AEE path
-    (full flow fields cross to the host) — only for --save_outputs."""
+    (full flow fields cross to the host) — only for --save_outputs.
+
+    Honors ``--eval_batch`` by batching CONSECUTIVE same-shape pairs
+    (one compile per shape bucket, like evaluate_dataset) and, for
+    bfloat16, pre-casts the params once so per-call weight converts
+    don't pay on every pair."""
     import os
 
     import numpy as np
@@ -233,30 +238,50 @@ def _eval_saving_outputs(args, dataset, params):
     from flownet2_tf_tpu.training.infer import infer_flow
     from flownet2_tf_tpu.utils import flowlib
 
+    if str(args.compute_dtype) == "bfloat16":
+        from flownet2_tf_tpu.models.common import cast_params_for_inference
+
+        params = cast_params_for_inference(params)
+
     os.makedirs(args.save_outputs, exist_ok=True)
     n = min(len(dataset), args.limit or len(dataset))
+    batch = max(1, int(args.eval_batch))
     aee_sum = 0.0
-    for i in range(n):
-        item = dataset[i]
-        flow = infer_flow(args.model, params, item["image_a"],
-                          item["image_b"], compute_dtype=args.compute_dtype)
-        gt = np.asarray(item["flow"], np.float32)
-        if gt.shape[-1] == 3:  # KITTI [u, v, valid]
-            valid = gt[..., 2]
-            gt = gt[..., :2]
-        else:
-            valid = np.ones(gt.shape[:2], np.float32)
-        epe = np.sqrt(((flow - gt) ** 2).sum(-1)) * valid
-        aee = float(epe.sum()) / max(float(valid.sum()), 1.0)
-        aee_sum += aee
-        stem = os.path.join(args.save_outputs, f"{i:06d}_flow")
-        flowlib.write_flow(flow, stem + ".flo")
-        flowlib.write_flow_png(flow, stem + ".png")
-        if item["flow"].shape[-1] == 3:
-            # KITTI-benchmark submission format
-            flowlib.write_kitti_png_flow(flow, stem + "_kitti.png")
-        if args.verbose:
-            print(f"  [{i + 1}/{n}] AEE {aee:.4f} -> {stem}")
+    i = 0
+    while i < n:
+        items = [dataset[i]]
+        shape = items[0]["image_a"].shape
+        while len(items) < batch and i + len(items) < n:
+            nxt = dataset[i + len(items)]
+            if nxt["image_a"].shape != shape:
+                break
+            items.append(nxt)
+        flows = infer_flow(
+            args.model, params,
+            np.stack([it["image_a"] for it in items]),
+            np.stack([it["image_b"] for it in items]),
+            compute_dtype=args.compute_dtype,
+        )
+        for j, item in enumerate(items):
+            flow = flows[j]
+            gt = np.asarray(item["flow"], np.float32)
+            if gt.shape[-1] == 3:  # KITTI [u, v, valid]
+                valid = gt[..., 2]
+                gt = gt[..., :2]
+            else:
+                valid = np.ones(gt.shape[:2], np.float32)
+            epe = np.sqrt(((flow - gt) ** 2).sum(-1)) * valid
+            aee = float(epe.sum()) / max(float(valid.sum()), 1.0)
+            aee_sum += aee
+            stem = os.path.join(args.save_outputs, f"{i + j:06d}_flow")
+            flowlib.write_flow(flow, stem + ".flo")
+            flowlib.write_flow_png(flow, stem + ".png")
+            if item["flow"].shape[-1] == 3:
+                # KITTI-benchmark submission format
+                flowlib.write_kitti_png_flow(flow, stem + "_kitti.png")
+            if args.verbose:
+                print(f"  [{i + j + 1}/{n}] AEE {aee:.4f} -> {stem}")
+        i += len(items)
     return aee_sum / max(n, 1), n
 
 

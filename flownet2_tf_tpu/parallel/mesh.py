@@ -211,13 +211,18 @@ class DevicePrefetcher:
         return item, device_batch
 
     def close(self):
-        if self._threaded:
+        if self._thread is not None:
             self._stop.set()
+            # The worker executes the source generator's frame; closing a
+            # generator while another thread runs it raises
+            # ValueError('generator already executing') and would leave the
+            # source's own producer thread alive past close(). Join first —
+            # the worker exits within one queue-put timeout (or one source
+            # fetch) once _stop is set.
+            self._thread.join(timeout=10.0)
         close = getattr(self._src, "close", None)
         if close is not None:
             try:
                 close()
             except Exception:
                 pass
-        if self._thread is not None:
-            self._thread.join(timeout=5.0)

@@ -214,6 +214,25 @@ def get_native_io(build: bool = True):
         except OSError:
             _native_failed = True
             return None
+        except AttributeError:
+            # Stale prebuilt library (build/ outlives a source update) that
+            # lacks a newer entry point: rebuild once and retry. The stale
+            # image is already mapped into this process and dlopen caches by
+            # inode, so the old file must be unlinked first or the retry
+            # would resolve to the same handle.
+            _native = None
+            try:
+                os.unlink(_LIB_PATH)
+            except OSError:
+                pass
+            if build and _build_library():
+                try:
+                    _native = NativeIO(ctypes.CDLL(_LIB_PATH))
+                except (OSError, AttributeError):
+                    _native = None
+            if _native is None:
+                _native_failed = True
+                return None
         return _native
 
 

@@ -113,16 +113,26 @@ def trace_model(model_name="2", height=448, width=1024, batch=1, iters=3,
     warps, docs/DESIGN.md) instead of the exact-warp path."""
     import contextlib
 
+    from flownet2_tf_tpu.ops import dispatch
+
+    # `with` so an exception mid-trace can't leak the thread-local
+    # half-res-warp override into the caller's later exact-warp runs
+    with contextlib.ExitStack() as stack:
+        if warp_mode == "half":
+            stack.enter_context(dispatch.use_half_res_warp(True))
+        return _trace_model_inner(
+            model_name, height, width, batch, iters, compute_dtype,
+            trace_dir,
+        )
+
+
+def _trace_model_inner(model_name, height, width, batch, iters,
+                       compute_dtype, trace_dir):
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     from flownet2_tf_tpu.models.registry import get_model
-    from flownet2_tf_tpu.ops import dispatch
-
-    stack = contextlib.ExitStack()
-    if warp_mode == "half":
-        stack.enter_context(dispatch.use_half_res_warp(True))
 
     m = get_model(model_name)
     params = m.init(jax.random.PRNGKey(0))
@@ -145,7 +155,6 @@ def trace_model(model_name="2", height=448, width=1024, batch=1, iters=3,
     with jax.profiler.trace(trace_dir):
         for _ in range(iters):
             float(fwd(params, a, b))
-    stack.close()
     return trace_dir
 
 

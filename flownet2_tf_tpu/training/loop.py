@@ -373,9 +373,19 @@ class Trainer:
         Cached like ``_step_fn_cache`` (VERDICT r2 weak #2): defining the
         closure inside :meth:`evaluate` made every periodic eval call
         re-trace it; ``self.model``/``self.compute_dtype`` are fixed for
-        the Trainer's lifetime so one cached fn is sufficient.
+        the Trainer's lifetime. The cache is keyed by
+        ``dispatch.trace_signature()`` — the trace bakes in the
+        thread-local dispatch knobs (half-res warps, kernel impl, ...),
+        so an evaluate() call under a new dispatch context must not
+        reuse a trace made under the old one.
         """
-        if getattr(self, "_eval_batch_cached", None) is None:
+        from flownet2_tf_tpu.ops import dispatch
+
+        sig = dispatch.trace_signature()
+        cache = getattr(self, "_eval_batch_cache", None)
+        if cache is None:
+            cache = self._eval_batch_cache = {}
+        if sig not in cache:
             from flownet2_tf_tpu.training.infer import pad_to_multiple
 
             @jax.jit
@@ -392,8 +402,8 @@ class Trainer:
                 flow = preds["flow"][:, :h, :w, :]
                 return endpoint_error_mean(batch["flow"], flow)
 
-            self._eval_batch_cached = eval_batch
-        return self._eval_batch_cached
+            cache[sig] = eval_batch
+        return cache[sig]
 
     def evaluate(self, state, eval_loader, max_batches=None):
         """Mean full-res EPE over validation batches (on-device

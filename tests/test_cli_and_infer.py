@@ -502,3 +502,22 @@ def test_cli_eval_save_outputs(tmp_path, capsys):
         flow = flowlib.read_flow(out / f"{i:06d}_flow.flo")
         assert np.isfinite(flow).all()
         assert (out / f"{i:06d}_flow.png").exists()
+
+    # --eval_batch is honored (batched pairs, identical AEE and files;
+    # r3 review #5)
+    out_b = tmp_path / "flows_b"
+    rc = cli.main([
+        "eval", "--model", "s", "--ckpt", ckpt,
+        "--dataset", "synthetic", "--limit", "3", "--eval_batch", "2",
+        "--save_outputs", str(out_b),
+    ])
+    assert rc == 0
+    batched = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert batched["pairs"] == 3
+    for i in range(3):
+        f = flowlib.read_flow(out_b / f"{i:06d}_flow.flo")
+        assert np.isfinite(f).all()
+    flow0 = flowlib.read_flow(out / "000000_flow.flo")
+    np.testing.assert_allclose(
+        flowlib.read_flow(out_b / "000000_flow.flo"), flow0, atol=1e-4
+    )

@@ -156,3 +156,33 @@ def test_dataset_uses_native_fast_path(tmp_path, rng):
     py = ds_py.fetch_batch([1, 3], num_workers=2)
     for k in batch:
         np.testing.assert_allclose(batch[k], py[k], atol=1e-6)
+
+
+def test_stale_library_falls_back(monkeypatch, tmp_path):
+    """A prebuilt .so that predates a new entry point (missing symbol ->
+    AttributeError in NativeIO.__init__) must degrade to the Python
+    fallback (get_native_io() -> None), not crash every TFRecord path
+    through native_available()/crc32c (r3 review finding #1)."""
+    from flownet2_tf_tpu.runtime import native as native_mod
+
+    # a real loadable library that has none of the fnio_* symbols
+    stale = tmp_path / "libstale.so"
+    src = tmp_path / "stale.c"
+    src.write_text("int not_fnio(void) { return 1; }\n")
+    import subprocess
+
+    subprocess.run(
+        ["gcc", "-shared", "-fPIC", "-o", str(stale), str(src)],
+        check=True, capture_output=True,
+    )
+
+    monkeypatch.setattr(native_mod, "_LIB_PATH", str(stale))
+    monkeypatch.setattr(native_mod, "_native", None)
+    monkeypatch.setattr(native_mod, "_native_failed", False)
+    # rebuild attempt "succeeds" but leaves the stale file missing ->
+    # second load can't happen; must return None (not raise)
+    monkeypatch.setattr(native_mod, "_build_library", lambda: False)
+    assert native_mod.get_native_io() is None
+    assert native_mod.native_available() is False
+    # and the TFRecord codec still works on the pure-Python path
+    assert tfrecord.crc32c(b"hello") == tfrecord.crc32c_py(b"hello")

@@ -441,7 +441,16 @@ def test_evaluate_uses_cached_jitted_fn(tmp_path):
     fn_first = trainer._eval_batch_fn()
     trainer.evaluate(state, loader)
     assert trainer._eval_batch_fn() is fn_first
-    assert trainer._eval_batch_cached is fn_first
+    assert fn_first in trainer._eval_batch_cache.values()
+
+    # ... but a different dispatch context must NOT reuse the trace made
+    # under the old knobs (trace_signature contract, r3 review #3)
+    from flownet2_tf_tpu.ops import dispatch
+
+    with dispatch.use_half_res_warp(True):
+        fn_half = trainer._eval_batch_fn()
+        assert fn_half is not fn_first
+    assert trainer._eval_batch_fn() is fn_first  # restored context
 
 
 def test_device_prefetcher_yields_all_batches_and_propagates_errors():
@@ -492,6 +501,36 @@ def test_device_prefetcher_close_stops_worker():
     next(pf)
     pf.close()
     assert not pf._thread.is_alive()
+
+
+def test_device_prefetcher_close_shuts_down_loader_producer():
+    """close() over a real BatchLoader stream must terminate the
+    loader's internal producer thread too. The worker thread executes
+    the source generator's frame, so close() must join the worker
+    BEFORE generator-close — otherwise generator.close() raises
+    'generator already executing', is swallowed, and the producer
+    outlives close() (r3 review #2)."""
+    import threading
+    import time
+
+    from flownet2_tf_tpu.parallel import mesh as mesh_lib
+
+    mesh = _one_device_mesh()
+    ds = SyntheticFlowDataset(size=16, height=32, width=32, seed=0)
+    loader = BatchLoader(ds, batch_size=2, shuffle=False, num_workers=1,
+                         prefetch=1)
+    before = set(threading.enumerate())
+    pf = mesh_lib.DevicePrefetcher(loader.batches(), mesh, depth=1)
+    next(pf)  # worker + producer both live, stream mid-flight
+    pf.close()
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t not in before and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, [t.name for t in leaked]
 
 
 def test_device_prefetcher_inline_mode():
