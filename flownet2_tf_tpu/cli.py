@@ -90,6 +90,7 @@ def cmd_train(args):
         checkpoint_every=args.checkpoint_every,
         image_summary_every=args.image_summary_every,
         remat=args.remat,
+        grad_accum=args.grad_accum,
         eval_every=args.eval_every,
     )
     from flownet2_tf_tpu.parallel.mesh import maybe_initialize_distributed
@@ -517,6 +518,11 @@ def build_parser():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward pass (activation-memory "
                         "savings for stacked models at large crops)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="scan the fwd+bwd over N microbatches per step, "
+                        "averaging gradients (same optimizer semantics, "
+                        "~N-fold lower activation memory; composes with "
+                        "--remat). Batch size must divide by N")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])

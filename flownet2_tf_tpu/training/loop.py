@@ -109,6 +109,13 @@ class TrainConfig:
     # trades ~1/3 more FLOPs for large activation-memory savings — needed
     # for the deep stacked models (CSS/FlowNet2) at big crops/batches.
     remat: bool = False
+    # gradient accumulation: split each batch into N microbatches and
+    # lax.scan the fwd+bwd over them inside ONE jitted step, averaging
+    # gradients. Optimizer/LR/step semantics are unchanged (one update
+    # per batch); peak activation memory drops ~N-fold (plus one
+    # params-sized gradient accumulator) — the other memory lever next
+    # to remat, and composable with it. batch_size must divide by it.
+    grad_accum: int = 1
     # wrap frozen sub-scopes' params in lax.stop_gradient INSIDE the
     # loss, so AD never builds their backward pass. Numerically
     # identical to the post-hoc gradient zeroing (the frozen leaves'
@@ -292,11 +299,52 @@ class Trainer:
             epe = endpoint_error_mean(flow, preds["flow"])
             return total, {"data_loss": data_loss, "epe": epe}
 
+        accum = max(1, int(getattr(self.config, "grad_accum", 1)))
+
         def step(state, batch, key):
             params = state["params"]
-            (total, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, batch, key)
+            if accum == 1:
+                (total, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, batch, key)
+            else:
+                # microbatch scan: fwd+bwd per slice, gradients averaged.
+                # Loss/EPE are per-example means, so the average over
+                # equal-sized microbatches equals the full-batch value.
+                # Each microbatch gets its own folded augmentation key.
+                micro = jax.tree_util.tree_map(
+                    lambda x: x.reshape(
+                        (accum, x.shape[0] // accum) + x.shape[1:]
+                    ),
+                    batch,
+                )
+
+                def body(carry, xs):
+                    g_sum, t_sum, aux_sum = carry
+                    mb, i = xs
+                    (t, aux_i), g = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params, mb, jax.random.fold_in(key, i))
+                    g_sum = jax.tree_util.tree_map(
+                        lambda a, b: a + b, g_sum, g
+                    )
+                    aux_sum = jax.tree_util.tree_map(
+                        lambda a, b: a + b, aux_sum, aux_i
+                    )
+                    return (g_sum, t_sum + t, aux_sum), None
+
+                zeros = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), params
+                )
+                aux0 = {"data_loss": jnp.float32(0), "epe": jnp.float32(0)}
+                (g_sum, t_sum, aux_sum), _ = jax.lax.scan(
+                    body, (zeros, jnp.float32(0), aux0),
+                    (micro, jnp.arange(accum)),
+                )
+                inv = jnp.float32(1.0 / accum)
+                grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+                total = t_sum * inv
+                aux = jax.tree_util.tree_map(lambda a: a * inv, aux_sum)
             grads = optim.zero_frozen_grads(grads, frozen)
             gnorm = optax.global_norm(grads)
             updates, opt_state = optimizer.update(
@@ -475,6 +523,13 @@ class Trainer:
         first_batch = next(probe_iter, None)
         if first_batch is not None:
             bsz = first_batch["image_a"].shape[0]
+            accum = max(1, int(getattr(cfg, "grad_accum", 1)))
+            if bsz % accum:
+                raise ValueError(
+                    f"grad_accum={accum} must divide the batch size "
+                    f"({bsz}): each step scans over {accum} equal "
+                    "microbatches"
+                )
             adapted = mesh_lib.mesh_for_batch(bsz, self.mesh)
             if adapted.devices.size != self.mesh.devices.size:
                 print(
