@@ -608,6 +608,35 @@ def test_grad_accum_matches_full_batch(tmp_path):
             assert frac_off < 1e-4, (k, frac_off)
 
 
+def test_grad_accum_composes_with_data_parallel(tmp_path):
+    """grad_accum under a 2-device DP mesh equals the single-device
+    full-batch step: the microbatch reshape + scan must compose with the
+    sharded batch axis (GSPMD reshards dim 1; numerics unchanged)."""
+    ds = SyntheticFlowDataset(size=4, height=64, width=64, seed=1,
+                              max_flow=3.0)
+    batch = {
+        k: np.stack([ds[i][k] for i in range(4)])
+        for k in ("image_a", "image_b", "flow")
+    }
+    key = jax.random.PRNGKey(3)
+
+    ref = Trainer(_small_cfg(tmp_path, "gadp_ref"),
+                  mesh=_one_device_mesh())
+    state = ref.init_state()
+    _, m_ref = ref.get_step_fn(None)(
+        state, mesh_lib.shard_batch(ref.mesh, batch), key)
+
+    dp = Trainer(_small_cfg(tmp_path, "gadp", grad_accum=2),
+                 mesh=mesh_lib.make_mesh(jax.devices()[:2]))
+    state2 = dp.init_state()
+    _, m_dp = dp.get_step_fn(None)(
+        state2, mesh_lib.shard_batch(dp.mesh, batch), key)
+
+    for k in ("loss", "epe"):
+        np.testing.assert_allclose(
+            float(m_dp[k]), float(m_ref[k]), rtol=1e-5, err_msg=k)
+
+
 def test_grad_accum_fit_and_validation(tmp_path):
     """fit() trains under grad_accum (augmentation on), and rejects a
     batch size the accumulation factor does not divide."""
