@@ -1,0 +1,168 @@
+"""HBM accounting for the training memory levers: remat and grad_accum.
+
+XLA's compile-time memory analysis (`compiled.memory_analysis()`)
+reports the executable's temp allocation — the peak live-activation
+buffer the scheduler actually reserved — without running a step. That
+turns the DESIGN.md remat paragraph's "fits comfortably" into numbers,
+and quantifies what `--grad_accum N` buys (activations bound by the
+microbatch) and costs (one params-sized f32 gradient accumulator).
+
+Rows appended to benchmarks/results.json::train_memory:
+  {model}_{crop}_b{batch}[_remat][_ga{N}] -> temp/argument GiB from the
+  compiled train step, plus (optionally, --time) the measured step time.
+
+Compile-only by default, so it is safe to run through the axon relay
+(first compile of the deep stacks is minutes; the persistent cache
+amortizes reruns). Shapes shrink automatically on CPU smoke runs
+(--smoke).
+
+Usage: python benchmarks/memory_bench.py [--smoke] [--time]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results.json")
+
+
+def build_step(model, height, width, batch, remat, grad_accum):
+    import jax
+
+    from flownet2_tf_tpu.parallel import mesh as mesh_lib
+    from flownet2_tf_tpu.training.loop import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        model=model,
+        schedule="long",
+        log_dir=f"/tmp/flownet2_membench_{model}",
+        compute_dtype="bfloat16",
+        augment=True,
+        tensorboard=False,
+        checkpoint_every=0,
+        remat=remat,
+        grad_accum=grad_accum,
+    )
+    trainer = Trainer(cfg, mesh=mesh_lib.make_mesh(jax.devices()[:1]))
+    state = trainer.init_state()
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "image_a": rng.randint(0, 255, (batch, height, width, 3)).astype(
+            np.uint8),
+        "image_b": rng.randint(0, 255, (batch, height, width, 3)).astype(
+            np.uint8),
+        "flow": rng.randn(batch, height, width, 2).astype(np.float32) * 2,
+    }
+    device_batch = mesh_lib.shard_batch(trainer.mesh, batch_np)
+    preprocess = {
+        "crop_height": height, "crop_width": width,
+        "image_a": {"translate": {
+            "rand_type": "uniform_bernoulli", "exp": False,
+            "mean": 0.0, "spread": 0.02, "prob": 1.0}},
+        "image_b": {},
+    }
+    step_fn = trainer.get_step_fn(preprocess)
+    key = jax.random.PRNGKey(0)
+    return step_fn, state, device_batch, key
+
+
+def analyze(step_fn, state, device_batch, key):
+    lowered = step_fn.lower(state, device_batch, key)
+    compiled = lowered.compile()
+    ma = compiled.memory_analysis()
+    gib = 1024.0 ** 3
+    out = {}
+    for field in ("temp_size_in_bytes", "argument_size_in_bytes",
+                  "output_size_in_bytes", "generated_code_size_in_bytes"):
+        v = getattr(ma, field, None)
+        if v is not None:
+            out[field.replace("_size_in_bytes", "_gib")] = round(v / gib, 4)
+    return compiled, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes (CPU-safe functional check)")
+    ap.add_argument("--time", action="store_true",
+                    help="also run + time each variant (marginal ms)")
+    ap.add_argument("--models", default="css,2")
+    args = ap.parse_args()
+
+    from flownet2_tf_tpu.tools.benchlib import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.smoke:
+        height, width, batch = 64, 64, 4
+        variants = [
+            {"remat": False, "grad_accum": 1},
+            {"remat": True, "grad_accum": 1},
+            {"remat": False, "grad_accum": 2},
+        ]
+    else:
+        height, width, batch = 320, 448, 8  # the reference training crop
+        variants = [
+            {"remat": False, "grad_accum": 1},
+            {"remat": True, "grad_accum": 1},
+            {"remat": False, "grad_accum": 2},
+            {"remat": False, "grad_accum": 4},
+            {"remat": True, "grad_accum": 4},
+        ]
+
+    rows = {}
+    for model in args.models.split(","):
+        for v in variants:
+            tag = f"{model}_{height}x{width}_b{batch}"
+            if v["remat"]:
+                tag += "_remat"
+            if v["grad_accum"] > 1:
+                tag += f"_ga{v['grad_accum']}"
+            step_fn, state, device_batch, key = build_step(
+                model, height, width, batch, v["remat"], v["grad_accum"])
+            t0 = time.time()
+            compiled, mem = analyze(step_fn, state, device_batch, key)
+            mem["compile_s"] = round(time.time() - t0, 1)
+            mem.update(v)
+            if args.time:
+                import jax
+
+                # one warm call, then time a short chain of steps
+                st, _ = step_fn(state, device_batch, key)
+                t0 = time.time()
+                n = 6
+                for i in range(n):
+                    st, metrics = step_fn(st, device_batch,
+                                          jax.random.fold_in(key, i))
+                loss = float(jax.device_get(metrics["loss"]))
+                dt = (time.time() - t0) / n
+                assert np.isfinite(loss)
+                mem["ms_per_step_incl_dispatch"] = round(dt * 1000, 1)
+            rows[tag] = mem
+            print(json.dumps({tag: mem}), flush=True)
+
+    if args.smoke:
+        print("smoke run: results.json NOT updated (toy shapes, CPU)")
+        return
+    try:
+        with open(RESULTS) as f:
+            results = json.load(f)
+    except FileNotFoundError:
+        results = {}
+    results.setdefault("train_memory", {}).update(rows)
+    with open(RESULTS, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote train_memory ({len(rows)} rows) -> {RESULTS}")
+
+
+if __name__ == "__main__":
+    main()
