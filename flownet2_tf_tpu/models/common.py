@@ -221,6 +221,24 @@ def _conv_io_dtypes(compute_dtype, act, interconv: bool = False):
     return compute_dtype, lax.Precision.DEFAULT
 
 
+def _check_f32_master(w, io_dtype, where):
+    """Trace-time guard: a layer whose policy resolves to f32 must see
+    f32 master weights. A bf16 weight here means the params were
+    pre-cast (cast_params_for_inference) under a DIFFERENT dispatch
+    configuration than the current trace (e.g. use_bf16_interconv on at
+    cast time, off now) — astype'ing the already-quantized copy back to
+    f32 would silently run at bf16 weight precision while claiming the
+    exact path."""
+    if io_dtype == jnp.float32 and w.dtype == jnp.bfloat16:
+        raise ValueError(
+            f"{where}: f32-policy layer received bfloat16 weights — the "
+            "param tree was pre-cast under a different dispatch "
+            "configuration than the current trace; re-run "
+            "cast_params_for_inference on the f32 masters under the "
+            "active configuration"
+        )
+
+
 def conv(p, x, stride: int = 1, act: bool = True,
          compute_dtype=None, interconv: bool = False):
     """Caffe-padded conv + optional LeakyReLU (see _conv_io_dtypes)."""
@@ -228,6 +246,7 @@ def conv(p, x, stride: int = 1, act: bool = True,
     k = w.shape[0]
     pad = (k - 1) // 2
     io_dtype, precision = _conv_io_dtypes(compute_dtype, act, interconv)
+    _check_f32_master(w, io_dtype, "conv")
     y = lax.conv_general_dilated(
         x.astype(io_dtype),
         w.astype(io_dtype),
@@ -255,6 +274,7 @@ def deconv(p, x, act: bool = True, compute_dtype=None):
     """
     w = p["weights"]
     io_dtype, precision = _conv_io_dtypes(compute_dtype, act)
+    _check_f32_master(w, io_dtype, "deconv")
     y = lax.conv_general_dilated(
         x.astype(io_dtype),
         w.astype(io_dtype),
@@ -460,6 +480,7 @@ def deconv_s2d(p, x, act: bool = True, compute_dtype=None):
     """Drop-in for :func:`deconv` that returns the S2D-encoded output
     (same resolution as ``x``, 4x channels, phase-major)."""
     io_dtype, precision = _conv_io_dtypes(compute_dtype, act)
+    _check_f32_master(p["weights"], io_dtype, "deconv_s2d")
     y = lax.conv_general_dilated(
         x.astype(io_dtype),
         _s2d_wdeconv4(p["weights"]).astype(io_dtype),
@@ -488,6 +509,7 @@ def conv3x3s1_s2d(p, x, in_splits=None, act: bool = True,
     if in_splits is None:
         in_splits = (w.shape[2],)
     io_dtype, precision = _conv_io_dtypes(compute_dtype, act, interconv)
+    _check_f32_master(w, io_dtype, "conv_s2d")
     parts = []
     off = 0
     for s in in_splits:

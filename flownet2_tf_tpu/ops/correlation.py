@@ -72,6 +72,13 @@ def correlation(
         raise ValueError("kernel_size must be odd")
 
     impl = implementation or dispatch.get_implementation()
+    if impl not in dispatch._VALID:
+        # the env/thread-local paths validate in dispatch; the explicit
+        # argument must too — a typo'd impl silently falling through to
+        # the oracle would publish oracle numbers under the wrong name
+        raise ValueError(
+            f"bad kernel implementation {impl!r}; one of {dispatch._VALID}"
+        )
     if impl == "auto":
         # Measured on v5e (1x56x128x256, d=20, the FlowNetC shape at
         # 448x1024): MXU einsum+skew 'mxu' wins over the XLA scan oracle

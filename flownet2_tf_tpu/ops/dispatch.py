@@ -110,6 +110,13 @@ def get_f32_features_precision() -> str:
 
 @contextlib.contextmanager
 def use_f32_features_precision(mode: str):
+    if mode not in ("highest", "default"):
+        # eager, like set_implementation — an invalid mode must not
+        # surface only later, mid-trace, from the getter
+        raise ValueError(
+            f"f32 features precision must be 'highest'|'default', got "
+            f"{mode!r}"
+        )
     prev = getattr(_state, "f32_features_precision", None)
     _state.f32_features_precision = mode
     try:

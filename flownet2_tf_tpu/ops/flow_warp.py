@@ -49,11 +49,14 @@ def flow_warp(image, flow, border: str = "clamp",
             f"image/flow spatial mismatch: {image.shape} vs {flow.shape}"
         )
     impl = implementation or dispatch.get_implementation()
+    if impl not in dispatch._VALID:
+        raise ValueError(
+            f"bad kernel implementation {impl!r}; one of {dispatch._VALID}"
+        )
     # The neighbor-packed XLA formulation IS the TPU-optimized kernel for
     # this op: Mosaic has no vectorized VMEM gather, so a hand-written
     # Pallas version would scalar-loop (measured rationale in
-    # docs/DESIGN.md). 'pallas' therefore resolves to the same path.
-    del impl
+    # docs/DESIGN.md). Every valid impl resolves to the same path.
     return _flow_warp_oracle(image, flow, border, gather_dtype)
 
 
@@ -243,6 +246,21 @@ def _pool2_from_s2d(x_s2d):
     return x_s2d.reshape(n, h, w, 4, c).mean(axis=3)
 
 
+def _half_res_warp_s2d(image, flow_src, pool_flow, warp_impl, border,
+                       gather_dtype):
+    """The shared half-res branch of every stack_warp_s2d* variant:
+    pool the image, scale the pooled flow into half-res pixels MINUS
+    the 0.25-px grid offset (derivation: flow_warp_half), warp at half
+    res, S2D-encode the exact 2x upsample. One home for the offset
+    constant and its correctness argument."""
+    from flownet2_tf_tpu.models.common import s2d_encode_upsample2x
+
+    image_h = _pool2(image)
+    flow_h = pool_flow(flow_src) * 0.5 - 0.25
+    warped_h = warp_impl(image_h, flow_h, border, gather_dtype)
+    return s2d_encode_upsample2x(warped_h)
+
+
 def stack_warp_s2d(image, flow, border: str = "clamp", gather_dtype=None):
     """:func:`stack_warp` emitting the S2D-encoded warped image.
 
@@ -252,25 +270,35 @@ def stack_warp_s2d(image, flow, border: str = "clamp", gather_dtype=None):
     rounding). Used by the stage-2/fusion S2D assembly
     (models/stacks.py) so the full-res warped image never materializes
     in row-major layout."""
-    from flownet2_tf_tpu.models.common import s2d_encode_upsample2x
-
     if half_res_warp_enabled():
-        n, h, w, c = image.shape
-        image_h = _pool2(image)
-        flow_h = _pool2(flow) * 0.5 - 0.25  # grid offset: flow_warp_half
-        warped_h = _flow_warp_oracle(image_h, flow_h, border, gather_dtype)
-        return s2d_encode_upsample2x(warped_h)
+        return _half_res_warp_s2d(image, flow, _pool2, _flow_warp_oracle,
+                                  border, gather_dtype)
     return _stack_warp_s2d_full(image, flow, border, gather_dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _stack_warp_s2d_full(image, flow, border, gather_dtype=None):
-    from flownet2_tf_tpu.ops.sampling import _pack_table
+    from flownet2_tf_tpu.ops.sampling import (
+        _UNROLL_MAX_SAMPLES, _pack_table)
 
     n, h, w, c = image.shape
     h2, w2 = h // 2, w // 2
     if not jnp.issubdtype(image.dtype, jnp.floating):
         image = image.astype(jnp.float32)
+    if n > _UNROLL_MAX_SAMPLES:
+        # large (augmentation-path) batches roll into one lax.map body —
+        # same rationale as sampling.bilinear_gather (ADVICE r2): each
+        # mapped gather still sees a single-sample operand (fast
+        # emitter regime) without N unrolled subgraphs in the HLO.
+        def one(args):
+            img_i, fl_i = args
+            flat = _pack_table(img_i[None], gather_dtype)
+            return _s2d_warp_one(
+                flat, lambda q: _phase_uv_full(fl_i[None], q),
+                h, w, c, border, h2, w2,
+            )[0]
+
+        return jax.lax.map(one, (image, flow))
     outs = []
     for i in range(n):
         flat = _pack_table(image[i : i + 1], gather_dtype)
@@ -291,24 +319,32 @@ def stack_warp_s2d_enc(image, flow_s2d, border: str = "clamp",
     already has (models/stacks.py::_stage_flow_s2d), so the full-res
     row-major flow never materializes; each phase's (u, v) is a channel
     slice."""
-    from flownet2_tf_tpu.models.common import s2d_encode_upsample2x
-
     if half_res_warp_enabled():
-        image_h = _pool2(image)
-        flow_h = _pool2_from_s2d(flow_s2d) * 0.5 - 0.25
-        warped_h = _flow_warp_oracle(image_h, flow_h, border, gather_dtype)
-        return s2d_encode_upsample2x(warped_h)
+        return _half_res_warp_s2d(image, flow_s2d, _pool2_from_s2d,
+                                  _flow_warp_oracle, border, gather_dtype)
     return _stack_warp_s2d_enc_full(image, flow_s2d, border, gather_dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _stack_warp_s2d_enc_full(image, flow_s2d, border, gather_dtype=None):
-    from flownet2_tf_tpu.ops.sampling import _pack_table
+    from flownet2_tf_tpu.ops.sampling import (
+        _UNROLL_MAX_SAMPLES, _pack_table)
 
     n, h, w, c = image.shape
     h2, w2 = h // 2, w // 2
     if not jnp.issubdtype(image.dtype, jnp.floating):
         image = image.astype(jnp.float32)
+    if n > _UNROLL_MAX_SAMPLES:
+        # see _stack_warp_s2d_full: bounded HLO at augmentation batches
+        def one(args):
+            img_i, fe_i = args
+            flat = _pack_table(img_i[None], gather_dtype)
+            return _s2d_warp_one(
+                flat, lambda q: _phase_uv_enc(fe_i[None], q),
+                h, w, c, border, h2, w2,
+            )[0]
+
+        return jax.lax.map(one, (image, flow_s2d))
     outs = []
     for i in range(n):
         flat = _pack_table(image[i : i + 1], gather_dtype)
@@ -327,14 +363,17 @@ def stack_warp_multi_s2d_enc(image, flows_s2d, border: str = "clamp",
     """Multi-flow :func:`stack_warp_s2d_enc`: ONE ((1, h, w, c)) image,
     M S2D-encoded flows ((M, h/2, w/2, 8)), one shared packed table
     (the FlowNet2 fusion double warp). Returns (M, h/2, w/2, 4c)."""
-    from flownet2_tf_tpu.models.common import s2d_encode_upsample2x
-
+    if image.shape[0] != 1:
+        # the packed table's flat index only addresses sample 0's rows —
+        # a batched image would silently warp image[0] for every flow
+        raise ValueError(
+            f"stack_warp_multi_s2d_enc expects a (1, H, W, C) image, "
+            f"got {image.shape}"
+        )
     if half_res_warp_enabled():
-        image_h = _pool2(image)
-        flows_h = _pool2_from_s2d(flows_s2d) * 0.5 - 0.25
-        warped_h = _flow_warp_multi_impl(image_h, flows_h, border,
-                                         gather_dtype)
-        return s2d_encode_upsample2x(warped_h)
+        return _half_res_warp_s2d(image, flows_s2d, _pool2_from_s2d,
+                                  _flow_warp_multi_impl, border,
+                                  gather_dtype)
     return _stack_warp_multi_s2d_enc_full(image, flows_s2d, border,
                                           gather_dtype)
 
@@ -365,14 +404,16 @@ def stack_warp_multi_s2d(image, flows, border: str = "clamp",
                          gather_dtype=None):
     """Multi-flow :func:`stack_warp_s2d` (FlowNet2 fusion double warp):
     one packed table, M x 4 phase gathers. Returns (M, h/2, w/2, 4c)."""
-    from flownet2_tf_tpu.models.common import s2d_encode_upsample2x
-
+    if image.shape[0] != 1:
+        # see stack_warp_multi_s2d_enc: flat index addresses sample 0 only
+        raise ValueError(
+            f"stack_warp_multi_s2d expects a (1, H, W, C) image, "
+            f"got {image.shape}"
+        )
     if half_res_warp_enabled():
-        image_h = _pool2(image)
-        flows_h = _pool2(flows) * 0.5 - 0.25
-        warped_h = _flow_warp_multi_impl(image_h, flows_h, border,
-                                         gather_dtype)
-        return s2d_encode_upsample2x(warped_h)
+        return _half_res_warp_s2d(image, flows, _pool2,
+                                  _flow_warp_multi_impl, border,
+                                  gather_dtype)
     return _stack_warp_multi_s2d_full(image, flows, border, gather_dtype)
 
 

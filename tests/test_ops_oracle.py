@@ -507,3 +507,90 @@ def test_double_warp_batched_rolls_into_lax_map(rng):
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(wb[i]), np.asarray(pair[1]),
                                    atol=1e-6)
+
+
+def test_stack_warp_s2d_large_batch_rolls_into_lax_map(rng):
+    """Above the unroll threshold the S2D stack warps take the lax.map
+    body (bounded HLO at augmentation batches, r3 review #1); outputs
+    must equal the unrolled path / folded full-res warp exactly."""
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+    from flownet2_tf_tpu.models import common
+    from flownet2_tf_tpu.ops.sampling import _UNROLL_MAX_SAMPLES
+
+    n = _UNROLL_MAX_SAMPLES + 3
+    img = jnp.asarray(rng.rand(n, 8, 12, 3).astype(np.float32))
+    flo = jnp.asarray((rng.rand(n, 8, 12, 2) * 4 - 2).astype(np.float32))
+
+    got = np.asarray(fw.stack_warp_s2d(img, flo))
+    want = np.asarray(common.space_to_depth(fw.stack_warp(img, flo)))
+    assert got.shape == (n, 4, 6, 12)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    # encoded-flow variant through the same rolled branch
+    flo_enc = common.space_to_depth(flo)
+    got_enc = np.asarray(fw.stack_warp_s2d_enc(img, flo_enc))
+    # encoded phases carry the SAME per-phase flow values the full-res
+    # slicing extracts, so outputs agree exactly
+    np.testing.assert_allclose(got_enc, want, rtol=0, atol=0)
+
+
+def test_stack_warp_multi_s2d_rejects_batched_image(rng):
+    """The multi-flow S2D warps share ONE packed table; a batched image
+    must raise (the flat gather would silently warp image[0] for every
+    flow — r3 review #2), matching flow_warp_multi's validation."""
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+    from flownet2_tf_tpu.models import common
+
+    img = jnp.asarray(rng.rand(2, 8, 12, 3).astype(np.float32))
+    flows = jnp.asarray(rng.randn(2, 8, 12, 2).astype(np.float32))
+    with pytest.raises(ValueError, match="expects a \\(1, H, W, C\\)"):
+        fw.stack_warp_multi_s2d(img, flows)
+    with pytest.raises(ValueError, match="expects a \\(1, H, W, C\\)"):
+        fw.stack_warp_multi_s2d_enc(img, common.space_to_depth(flows))
+
+
+def test_explicit_bad_implementation_rejected(rng):
+    """A typo'd explicit implementation= must raise, not silently fall
+    through to the oracle (r3 review #3) — parity with the env/thread
+    validation in ops.dispatch."""
+    from flownet2_tf_tpu.ops.correlation import correlation
+    from flownet2_tf_tpu.ops.flow_warp import flow_warp
+    from flownet2_tf_tpu.ops import dispatch
+
+    a = jnp.asarray(rng.rand(1, 8, 8, 4).astype(np.float32))
+    flo = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
+    with pytest.raises(ValueError, match="bad kernel implementation"):
+        correlation(a, a, 1, 2, 1, 2, 2, implementation="orcale")
+    with pytest.raises(ValueError, match="bad kernel implementation"):
+        flow_warp(a, flo, implementation="mxU")
+    with pytest.raises(ValueError, match="highest"):
+        with dispatch.use_f32_features_precision("bogus"):
+            pass
+
+
+def test_f32_policy_layer_rejects_precast_bf16_weights(rng):
+    """A param tree pre-cast under use_bf16_interconv(True) and then
+    traced with the knob off must fail loudly: astype'ing the quantized
+    bf16 interconv weights back to f32 would silently run degraded
+    numerics on the exact path (r3 review #4)."""
+    from flownet2_tf_tpu.models import common
+    from flownet2_tf_tpu.ops import dispatch
+
+    p = {
+        "weights": jnp.asarray(rng.rand(3, 3, 4, 4).astype(np.float32)),
+        "biases": jnp.zeros((4,), np.float32),
+    }
+    x = jnp.asarray(rng.rand(1, 8, 8, 4).astype(np.float32))
+    with dispatch.use_bf16_interconv(True):
+        p_cast = {k: (v.astype(jnp.bfloat16) if k == "weights" else v)
+                  for k, v in p.items()}
+        # consistent context: bf16 interconv weights are fine
+        out = common.conv(p_cast, x.astype(jnp.bfloat16), act=False,
+                          compute_dtype=jnp.bfloat16, interconv=True)
+        assert out.dtype == jnp.bfloat16
+    # knob now off -> the same tree must be rejected, not silently cast
+    with pytest.raises(ValueError, match="pre-cast under a different"):
+        common.conv(p_cast, x, act=False, compute_dtype=jnp.bfloat16,
+                    interconv=True)
