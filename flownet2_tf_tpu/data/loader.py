@@ -148,14 +148,32 @@ def _backward_resample(img, flow):
 
 
 class FlyingChairsRawDataset:
-    """FlyingChairs release layout: NNNNN_img1.ppm / _img2.ppm / _flow.flo."""
+    """FlyingChairs release layout: NNNNN_img1.ppm / _img2.ppm / _flow.flo.
 
-    def __init__(self, root):
+    ``split``: 'all' (default — every pair), or 'train'/'validate' for a
+    deterministic 1-in-36 holdout (~635 of 22872 pairs, the size of the
+    official random validation split, whose index file is not bundled
+    with the release layout). The two splits are disjoint and stable
+    across runs, so a validate loader never sees training pairs.
+    """
+
+    def __init__(self, root, split: str = "all"):
         self.root = os.fspath(root)
-        self.ids = sorted(
+        ids = sorted(
             os.path.basename(p)[:-9]
             for p in glob.glob(os.path.join(self.root, "*_img1.ppm"))
         )
+        if split == "validate":
+            ids = ids[::36]
+        elif split == "train":
+            holdout = set(ids[::36])
+            ids = [i for i in ids if i not in holdout]
+        elif split != "all":
+            raise ValueError(
+                f"FlyingChairs raw split must be 'all'|'train'|'validate', "
+                f"got {split!r}"
+            )
+        self.ids = ids
         if not self.ids:
             raise FileNotFoundError(f"no *_img1.ppm under {self.root}")
 
@@ -241,6 +259,10 @@ class TFRecordFlowDataset:
         return self._offsets
 
     def __len__(self):
+        if self._native_handle is not None:
+            # the native open already indexed every record (C++); don't
+            # re-scan the file to build the Python offset list
+            return int(self._native.tfrecord_count(self._native_handle))
         return len(self._index())
 
     def __getitem__(self, idx):
@@ -280,9 +302,16 @@ class FlyingThings3DDataset:
     def __init__(self, root, split="TRAIN", pass_name="frames_cleanpass"):
         self.root = os.fspath(root)
         self.pairs = []
-        subset_img = os.path.join(self.root, "train", "image_clean", "left")
+        # split: TRAIN -> train/ (subset) | TRAIN/ (full); anything else
+        # -> val/ (subset) | TEST/ (full) — the held-out frames
+        is_train = str(split).lower() == "train"
+        subset_split = "train" if is_train else "val"
+        split = "TRAIN" if is_train else "TEST"
+        subset_img = os.path.join(
+            self.root, subset_split, "image_clean", "left")
         if os.path.isdir(subset_img):
-            flow_dir = os.path.join(self.root, "train", "flow", "left")
+            flow_dir = os.path.join(
+                self.root, subset_split, "flow", "left")
             frames = sorted(glob.glob(os.path.join(subset_img, "*.png")))
             for a, b in zip(frames[:-1], frames[1:]):
                 stem = os.path.splitext(os.path.basename(a))[0]
@@ -468,6 +497,14 @@ class BatchLoader:
             if self.drop_remainder
             else n_examples
         )
+        if limit <= 0:
+            # an empty stream would otherwise hang forever at
+            # epochs=None (nothing enqueued, no sentinel)
+            raise ValueError(
+                f"dataset yields no batches: {n_examples} examples, "
+                f"batch_size {self.batch_size}"
+                + (" (drop_remainder)" if self.drop_remainder else "")
+            )
         per_epoch = max(1, -(-limit // self.batch_size))
         start_epoch = int(start_batch) // per_epoch
         skip_in_epoch = (int(start_batch) % per_epoch) * self.batch_size
@@ -475,6 +512,7 @@ class BatchLoader:
         def producer():
             epoch = start_epoch
             skip = skip_in_epoch
+            final = None  # end-of-stream sentinel; exceptions propagate
             try:
                 while not stop.is_set():
                     if epochs is not None and epoch >= epochs:
@@ -504,10 +542,16 @@ class BatchLoader:
                             return
                     epoch += 1
                     skip = 0
+            except BaseException as e:
+                # a producer failure (decode error, bad shapes, IO) must
+                # reach the consumer as the error it is — the old
+                # None-always finally turned it into a clean end of
+                # stream and training would "complete" at step 0
+                final = e
             finally:
                 while not stop.is_set():
                     try:
-                        out_q.put(None, timeout=0.5)
+                        out_q.put(final, timeout=0.5)
                         break
                     except queue.Full:
                         continue
@@ -519,6 +563,8 @@ class BatchLoader:
                 batch = out_q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()
@@ -571,6 +617,27 @@ _RAW_DATASETS = {
 _EVAL_ONLY_DATASETS = {"kitti"}
 
 
+def _raw_dataset_for_split(name, raw_cls, raw_root, split):
+    """Raw-layout datasets must honor the requested split (the TFRecord
+    path reads PATHS[split]); 'validate' must never silently alias the
+    training set — evaluating on training data overstates
+    generalization."""
+    if split == "train":
+        if name == "flying_chairs":
+            return raw_cls(raw_root, split="train")
+        return raw_cls(raw_root)
+    if name == "flying_chairs":
+        return raw_cls(raw_root, split="validate")
+    if name == "flying_things_3d":
+        return raw_cls(raw_root, split="TEST")
+    if name == "chairs_sdhom":
+        return raw_cls(raw_root, split="test")
+    raise ValueError(
+        f"dataset {name!r} has no raw-layout {split!r} split; provide "
+        f"TFRecords via PATHS[{split!r}]"
+    )
+
+
 def load_batch(dataset_config, split="train", dataset=None):
     """Reference-shim: build a BatchLoader from a dataset config dict.
 
@@ -601,11 +668,10 @@ def load_batch(dataset_config, split="train", dataset=None):
         else:
             raw_root = dataset_config.get("RAW_ROOT")
             if raw_root and os.path.isdir(raw_root):
-                raw_cls = _RAW_DATASETS.get(
-                    dataset_config.get("NAME", "flying_chairs"),
-                    FlyingChairsRawDataset,
+                raw_cls = _RAW_DATASETS.get(name, FlyingChairsRawDataset)
+                dataset = _raw_dataset_for_split(
+                    name, raw_cls, raw_root, split
                 )
-                dataset = raw_cls(raw_root)
             else:
                 raise FileNotFoundError(
                     f"no data for {dataset_config.get('NAME')}: checked "

@@ -120,6 +120,11 @@ def _read_varint(buf: bytes, pos: int):
 
 
 def _write_varint(value: int) -> bytes:
+    if value < 0:
+        # proto int64 semantics: negatives encode as 10-byte two's
+        # complement. Python's arithmetic shift would otherwise loop
+        # forever (-1 >> 7 == -1).
+        value &= (1 << 64) - 1
     out = bytearray()
     while True:
         bits = value & 0x7F

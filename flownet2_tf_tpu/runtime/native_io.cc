@@ -380,53 +380,68 @@ int fnio_read_ppm(const char* path, uint8_t* data, int32_t* w, int32_t* h,
 // Multithreaded batch assembly
 // ---------------------------------------------------------------------------
 
-// Decode a batch of TFRecord examples (fixed schema: uint8 image_a/
-// image_b HxWx3 and float flow HxWx2) into float batch buffers in
-// parallel. Returns 0, or the first nonzero item status.
-int fnio_decode_batch(void* handle, const int64_t* indices, int n,
-                      int32_t height, int32_t width, float* image_a,
-                      float* image_b, float* flow, int n_threads) {
+// Shared engine for the two batch decoders (fixed schema: uint8
+// image_a/image_b HxWx3 and float flow HxWx2). The TFRecord read,
+// Example parse, size validation, and worker pool are identical; only
+// the image emit differs (u8 -> [0,1] float convert vs straight
+// memcpy). Returns 0, or the FIRST nonzero item status (recorded via
+// compare-exchange — concurrent failures don't overwrite each other).
+static int decode_batch_impl(void* handle, const int64_t* indices, int n,
+                             int32_t height, int32_t width, void* image_a,
+                             void* image_b, float* flow, int n_threads,
+                             bool to_float) {
   auto* idx = (TfRecordIndex*)handle;
   if (!idx) return -1;
   const int64_t img_px = (int64_t)height * width * 3;
   const int64_t flo_px = (int64_t)height * width * 2;
   std::atomic<int> next{0};
   std::atomic<int> status{0};
+  auto set_status = [&](int s) {
+    int expected = 0;
+    status.compare_exchange_strong(expected, s);
+  };
 
   auto worker = [&]() {
     std::vector<uint8_t> payload;
     const char names[] = "image_a\0image_b\0flow";  // NUL-separated
     FILE* f = std::fopen(idx->path.c_str(), "rb");  // one open per worker
-    if (!f) { status = -3; return; }
+    if (!f) { set_status(-3); return; }
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n) break;
       int64_t rec = indices[i];
       int64_t size = fnio_tfrecord_size(idx, rec);
-      if (size < 0) { status = -2; break; }
+      if (size < 0) { set_status(-2); break; }
       payload.resize((size_t)size);
       if (tfrecord_read_f(idx, f, rec, payload.data()) != 0) {
-        status = -3;
+        set_status(-3);
         break;
       }
       int64_t offs[3], sizes[3];
       if (fnio_parse_example(payload.data(), size, names, 3, offs, sizes) !=
           0) {
-        status = -4;
+        set_status(-4);
         break;
       }
       if (sizes[0] != img_px || sizes[1] != img_px ||
           sizes[2] != flo_px * 4) {
-        status = -5;
+        set_status(-5);
         break;
       }
       const uint8_t* a8 = payload.data() + offs[0];
       const uint8_t* b8 = payload.data() + offs[1];
-      float* a_out = image_a + (int64_t)i * img_px;
-      float* b_out = image_b + (int64_t)i * img_px;
-      const float scale = 1.0f / 255.0f;
-      for (int64_t k = 0; k < img_px; ++k) a_out[k] = a8[k] * scale;
-      for (int64_t k = 0; k < img_px; ++k) b_out[k] = b8[k] * scale;
+      if (to_float) {
+        float* a_out = (float*)image_a + (int64_t)i * img_px;
+        float* b_out = (float*)image_b + (int64_t)i * img_px;
+        const float scale = 1.0f / 255.0f;
+        for (int64_t k = 0; k < img_px; ++k) a_out[k] = a8[k] * scale;
+        for (int64_t k = 0; k < img_px; ++k) b_out[k] = b8[k] * scale;
+      } else {
+        std::memcpy((uint8_t*)image_a + (int64_t)i * img_px, a8,
+                    (size_t)img_px);
+        std::memcpy((uint8_t*)image_b + (int64_t)i * img_px, b8,
+                    (size_t)img_px);
+      }
       std::memcpy(flow + (int64_t)i * flo_px, payload.data() + offs[2],
                   (size_t)flo_px * 4);
     }
@@ -442,66 +457,25 @@ int fnio_decode_batch(void* handle, const int64_t* indices, int n,
   return status.load();
 }
 
-// Raw-uint8 variant of fnio_decode_batch: images stay uint8 (straight
-// memcpy out of the parsed Example), flow stays float. This is the
-// host fast path when the [0,1] float conversion runs ON DEVICE inside
-// the jitted train step (uint8 batches are also 4x smaller over the
-// host->device link). On a 1-core host the float convert dominated
-// decode time and capped the pipeline below the device's demand.
+// Decode a batch into [0,1] float image buffers.
+int fnio_decode_batch(void* handle, const int64_t* indices, int n,
+                      int32_t height, int32_t width, float* image_a,
+                      float* image_b, float* flow, int n_threads) {
+  return decode_batch_impl(handle, indices, n, height, width, image_a,
+                           image_b, flow, n_threads, /*to_float=*/true);
+}
+
+// Raw-uint8 variant: images stay uint8 (straight memcpy out of the
+// parsed Example), flow stays float. This is the host fast path when
+// the [0,1] float conversion runs ON DEVICE inside the jitted train
+// step (uint8 batches are also 4x smaller over the host->device link).
+// On a 1-core host the float convert dominated decode time and capped
+// the pipeline below the device's demand.
 int fnio_decode_batch_u8(void* handle, const int64_t* indices, int n,
                          int32_t height, int32_t width, uint8_t* image_a,
                          uint8_t* image_b, float* flow, int n_threads) {
-  auto* idx = (TfRecordIndex*)handle;
-  if (!idx) return -1;
-  const int64_t img_px = (int64_t)height * width * 3;
-  const int64_t flo_px = (int64_t)height * width * 2;
-  std::atomic<int> next{0};
-  std::atomic<int> status{0};
-
-  auto worker = [&]() {
-    std::vector<uint8_t> payload;
-    const char names[] = "image_a\0image_b\0flow";  // NUL-separated
-    FILE* f = std::fopen(idx->path.c_str(), "rb");  // one open per worker
-    if (!f) { status = -3; return; }
-    while (true) {
-      int i = next.fetch_add(1);
-      if (i >= n) break;
-      int64_t rec = indices[i];
-      int64_t size = fnio_tfrecord_size(idx, rec);
-      if (size < 0) { status = -2; break; }
-      payload.resize((size_t)size);
-      if (tfrecord_read_f(idx, f, rec, payload.data()) != 0) {
-        status = -3;
-        break;
-      }
-      int64_t offs[3], sizes[3];
-      if (fnio_parse_example(payload.data(), size, names, 3, offs, sizes) !=
-          0) {
-        status = -4;
-        break;
-      }
-      if (sizes[0] != img_px || sizes[1] != img_px ||
-          sizes[2] != flo_px * 4) {
-        status = -5;
-        break;
-      }
-      std::memcpy(image_a + (int64_t)i * img_px, payload.data() + offs[0],
-                  (size_t)img_px);
-      std::memcpy(image_b + (int64_t)i * img_px, payload.data() + offs[1],
-                  (size_t)img_px);
-      std::memcpy(flow + (int64_t)i * flo_px, payload.data() + offs[2],
-                  (size_t)flo_px * 4);
-    }
-    std::fclose(f);
-  };
-
-  int workers = n_threads > 0 ? n_threads : 1;
-  if (workers > n) workers = n;
-  std::vector<std::thread> threads;
-  threads.reserve(workers);
-  for (int t = 0; t < workers; ++t) threads.emplace_back(worker);
-  for (auto& t : threads) t.join();
-  return status.load();
+  return decode_batch_impl(handle, indices, n, height, width, image_a,
+                           image_b, flow, n_threads, /*to_float=*/false);
 }
 
 }  // extern "C"

@@ -126,12 +126,17 @@ def read_pfm_flow(filename):
         scale = float(f.readline().rstrip())
         endian = "<" if scale < 0 else ">"
         data = np.fromfile(f, endian + "f")
-    shape = (h, w, 3) if color else (h, w)
-    data = data.reshape(shape)
+    if not color:
+        # grayscale 'Pf' files are disparity/depth maps, not flow — a
+        # 2-D return here would violate the (H, W, 2) contract and blow
+        # up shapes deep inside batching/jit instead of at the reader
+        raise ValueError(
+            f"{filename}: single-channel PFM ('Pf') is not an optical "
+            "flow file; flow ground truth is 3-channel 'PF' (u, v, 0)"
+        )
+    data = data.reshape((h, w, 3))
     data = np.flipud(data)  # PFM stores rows bottom-to-top
-    if color:
-        return np.ascontiguousarray(data[:, :, :2].astype(np.float32))
-    return data.astype(np.float32)
+    return np.ascontiguousarray(data[:, :, :2].astype(np.float32))
 
 
 # ---------------------------------------------------------------------------

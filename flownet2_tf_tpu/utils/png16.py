@@ -79,28 +79,39 @@ def read_png16(path) -> np.ndarray:
     raw = zlib.decompress(bytes(idat))
     bpp = 6  # bytes per pixel (3 channels x 2 bytes)
     stride = width * bpp
-    out = bytearray(height * stride)
-    prev = bytearray(stride)
+    # None/Sub/Up defilter vectorized (what real encoders emit most);
+    # per-byte Python loops made filtered KITTI-size reads seconds per
+    # image. Average/Paeth stay as loops (sequential left-dependence
+    # through a nonlinearity); uint8 adds wrap mod 256 natively.
+    raw_np = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        ftype = int(raw_np[y, 0])
+        line = raw_np[y, 1:]
         if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+            cur = line.copy()
+        elif ftype == 1:  # Sub: per-lane prefix sum, mod 256
+            cur = (
+                np.cumsum(line.reshape(-1, bpp).astype(np.uint32), axis=0)
+                & 0xFF
+            ).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            cur = line + prev
         elif ftype == 3:  # Average
+            buf = bytearray(line.tobytes())
+            pv = prev
             for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+                left = buf[i - bpp] if i >= bpp else 0
+                buf[i] = (buf[i] + ((left + int(pv[i])) >> 1)) & 0xFF
+            cur = np.frombuffer(bytes(buf), np.uint8)
         elif ftype == 4:  # Paeth
+            buf = bytearray(line.tobytes())
+            pv = prev
             for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
+                a = buf[i - bpp] if i >= bpp else 0
+                b = int(pv[i])
+                c = int(pv[i - bpp]) if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 if pa <= pb and pa <= pc:
@@ -109,13 +120,14 @@ def read_png16(path) -> np.ndarray:
                     pr = b
                 else:
                     pr = c
-                line[i] = (line[i] + pr) & 0xFF
+                buf[i] = (buf[i] + pr) & 0xFF
+            cur = np.frombuffer(bytes(buf), np.uint8)
         else:
             raise ValueError(f"{path}: bad filter type {ftype}")
-        out[y * stride : (y + 1) * stride] = line
-        prev = line
+        out[y] = cur
+        prev = out[y]
     return (
-        np.frombuffer(bytes(out), dtype=">u2")
+        np.frombuffer(out.tobytes(), dtype=">u2")
         .reshape(height, width, 3)
         .astype(np.uint16)
     )

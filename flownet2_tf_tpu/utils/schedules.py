@@ -28,10 +28,20 @@ LONG_SCHEDULE = {
     "max_iter": 1200000,
 }
 
+# S_fine in the reference is expressed in GLOBAL steps continuing from
+# the warm-start checkpoint (slim restores global_step, so the fine run
+# spans 1.2M -> 1.7M with LR halvings at 1.4M/1.5M/1.6M). This framework
+# warm-starts params only and counts every run from step 0, so the
+# boundaries here are the RELATIVE translation: same 500k-step run, same
+# LR trajectory (1e-5 halved at +200k/+300k/+400k). The earlier dict
+# kept quasi-absolute boundaries (500k..800k) against a 500k max_iter,
+# which left every decay unreachable — a constant-LR fine run.
+# UNVERIFIED against the reference source (mount empty); re-check
+# src/training_schedules.py when it appears.
 FINE_SCHEDULE = {
     "name": "fine",
-    "step_values": [500000, 600000, 700000, 800000],
-    "learning_rates": [0.00001, 0.000005, 0.0000025, 0.00000125, 0.000000625],
+    "step_values": [200000, 300000, 400000],
+    "learning_rates": [0.00001, 0.000005, 0.0000025, 0.00000125],
     "momentum": 0.9,
     "momentum2": 0.999,
     "weight_decay": _WEIGHT_DECAY,

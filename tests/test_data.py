@@ -1,5 +1,7 @@
 """Data-layer tests: TFRecord codec, loaders, device-side augmentation."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -352,3 +354,111 @@ def test_transform_flow_pure_translation_closed_form():
     )
     np.testing.assert_allclose(out[..., 0], -tx_px, atol=1e-4)
     np.testing.assert_allclose(out[..., 1], -ty_px, atol=1e-4)
+
+
+def test_batch_loader_propagates_producer_errors():
+    """A failure in the producer thread (decode error, bad shapes) must
+    raise in the consumer, not masquerade as a clean end of stream that
+    'completes' training at step 0 (r3 review)."""
+    from flownet2_tf_tpu.data.loader import BatchLoader
+
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i >= 2:
+                raise ValueError("decode failed for record 2")
+            return {
+                "image_a": np.zeros((8, 8, 3), np.float32),
+                "image_b": np.zeros((8, 8, 3), np.float32),
+                "flow": np.zeros((8, 8, 2), np.float32),
+            }
+
+    loader = BatchLoader(Boom(), batch_size=2, shuffle=False,
+                         num_workers=1)
+    with pytest.raises(ValueError, match="decode failed for record 2"):
+        list(loader.batches(epochs=1))
+
+
+def test_batch_loader_rejects_empty_stream():
+    """len(dataset) < batch_size with drop_remainder must raise, not
+    hang the consumer forever at epochs=None (r3 review)."""
+    from flownet2_tf_tpu.data.loader import BatchLoader, SyntheticFlowDataset
+
+    ds = SyntheticFlowDataset(size=4, height=8, width=8)
+    loader = BatchLoader(ds, batch_size=8, shuffle=False, num_workers=1)
+    with pytest.raises(ValueError, match="yields no batches"):
+        next(loader.batches())
+
+
+def _write_raw_chairs(root, n=40):
+    from flownet2_tf_tpu.utils import flowlib
+    from flownet2_tf_tpu.utils.image_io import write_image
+
+    os.makedirs(root, exist_ok=True)
+    r = np.random.RandomState(0)
+    for i in range(n):
+        stem = os.path.join(root, f"{i:05d}")
+        write_image(r.randint(0, 255, (8, 8, 3)).astype(np.uint8),
+                    stem + "_img1.ppm")
+        write_image(r.randint(0, 255, (8, 8, 3)).astype(np.uint8),
+                    stem + "_img2.ppm")
+        flowlib.write_flow(r.randn(8, 8, 2).astype(np.float32),
+                           stem + "_flow.flo")
+
+
+def test_raw_chairs_validate_split_is_disjoint(tmp_path):
+    """The raw-layout 'validate' loader must never alias the training
+    set (r3 review: eval over training data silently overstated
+    generalization)."""
+    from flownet2_tf_tpu.data.loader import (
+        FlyingChairsRawDataset, load_batch)
+
+    root = str(tmp_path / "chairs")
+    _write_raw_chairs(root, n=40)
+    tr = FlyingChairsRawDataset(root, split="train")
+    va = FlyingChairsRawDataset(root, split="validate")
+    al = FlyingChairsRawDataset(root)
+    assert set(tr.ids).isdisjoint(va.ids)
+    assert sorted(tr.ids + va.ids) == al.ids
+    assert len(va) == 2  # 40 / 36 holdout
+
+    cfg = {
+        "NAME": "flying_chairs",
+        "RAW_ROOT": root,
+        "BATCH_SIZE": 2,
+        "IMAGE_HEIGHT": 8,
+        "IMAGE_WIDTH": 8,
+        "PATHS": {},
+        "PREPROCESS": {},
+    }
+    loader_val, _ = load_batch(cfg, "validate")
+    assert len(loader_val.dataset) == 2
+    loader_tr, _ = load_batch(cfg, "train")
+    assert len(loader_tr.dataset) == 38
+
+
+def test_grayscale_pfm_rejected(tmp_path):
+    """Single-channel 'Pf' PFM files are disparity maps, not flow; the
+    flow reader must reject them at the reader, not return a 2-D array
+    that violates the (H, W, 2) contract (r3 review)."""
+    from flownet2_tf_tpu.utils import flowlib
+
+    p = tmp_path / "disp.pfm"
+    data = np.arange(12, dtype="<f4")
+    with open(p, "wb") as f:
+        f.write(b"Pf\n4 3\n-1.0\n")
+        f.write(data.tobytes())
+    with pytest.raises(ValueError, match="not an optical flow"):
+        flowlib.read_pfm_flow(p)
+
+
+def test_varint_negative_terminates():
+    """_write_varint(-1) must emit proto int64 two's complement (10
+    bytes), not loop forever on Python's arithmetic shift."""
+    from flownet2_tf_tpu.data.tfrecord import _write_varint
+
+    out = _write_varint(-1)
+    assert out == b"\xff" * 9 + b"\x01"
+    assert _write_varint(0) == b"\x00"

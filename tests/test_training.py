@@ -34,6 +34,24 @@ def test_lr_schedule_piecewise_constant():
     assert float(lr(1_000_000)) == pytest.approx(6.25e-6, rel=1e-5)
 
 
+def test_fine_schedule_decays_within_run():
+    """S_fine is run-relative here (the reference counts global steps
+    continuing from the warm start): 1e-5 halved at +200k/+300k/+400k.
+    Every boundary of every named schedule must be reachable within its
+    own max_iter — the old quasi-absolute FINE boundaries (500k..800k vs
+    max_iter 500k) made the whole fine run constant-LR."""
+    from flownet2_tf_tpu.utils.schedules import FINE_SCHEDULE, SCHEDULES
+
+    lr = make_lr_schedule(FINE_SCHEDULE)
+    assert float(lr(0)) == pytest.approx(1e-5)
+    assert float(lr(250_000)) == pytest.approx(5e-6)
+    assert float(lr(450_000)) == pytest.approx(1.25e-6, rel=1e-5)
+
+    for name, sched in SCHEDULES.items():
+        for b in sched["step_values"]:
+            assert b < sched["max_iter"], (name, b, sched["max_iter"])
+
+
 def test_l2_regularization_weights_only():
     params = {
         "conv1": {"weights": jnp.ones((2, 2, 1, 1)), "biases": jnp.ones((1,))},
