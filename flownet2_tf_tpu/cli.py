@@ -66,7 +66,10 @@ def parse_warm_start_spec(spec):
             "whole checkpoint, e.g. ./logs/flownet_c::FlowNetC)"
         )
     path, src, dst = parts
-    return {path: (src, dst)}
+    # a (path, src, dst) TUPLE, not {path: (src, dst)}: two specs may
+    # splice different sub-scopes out of the SAME checkpoint, which a
+    # path-keyed dict would silently collapse to the last one
+    return path, src, dst
 
 
 def cmd_train(args):
@@ -147,14 +150,17 @@ def cmd_train(args):
         if args.eval_every:
             try:
                 eval_loader, _ = load_batch(dataset_config, "validate")
-            except FileNotFoundError:
-                print("warning: no validate split found; skipping eval")
+            except (FileNotFoundError, ValueError) as e:
+                # ValueError: raw layout with no validate split (e.g.
+                # sintel) — degrade to no-eval, as for missing files
+                print(f"warning: no validate split ({e}); skipping eval")
 
     warm = None
     if args.warm_start:
-        warm = {}
-        for spec in args.warm_start:
-            warm.update(parse_warm_start_spec(spec))
+        # a LIST of (path, src, dst): two specs may name the SAME
+        # checkpoint to splice different sub-scopes out of it — a dict
+        # keyed by path would silently drop all but the last
+        warm = [parse_warm_start_spec(spec) for spec in args.warm_start]
 
     trainer.fit(loader, preprocess=preprocess,
                 warm_start_checkpoints=warm, eval_loader=eval_loader)
@@ -249,12 +255,15 @@ def _eval_saving_outputs(args, dataset, params):
     batch = max(1, int(args.eval_batch))
     aee_sum = 0.0
     i = 0
+    pending = None  # item already fetched past a shape-bucket boundary
     while i < n:
-        items = [dataset[i]]
+        items = [dataset[i] if pending is None else pending]
+        pending = None
         shape = items[0]["image_a"].shape
         while len(items) < batch and i + len(items) < n:
             nxt = dataset[i + len(items)]
             if nxt["image_a"].shape != shape:
+                pending = nxt  # carry over; don't decode it twice
                 break
             items.append(nxt)
         flows = infer_flow(
@@ -316,7 +325,7 @@ def _make_eval_dataset(args):
 
 
 def cmd_bench(args):
-    import bench as bench_mod  # repo-root bench harness
+    from flownet2_tf_tpu.tools import bench as bench_mod
 
     result = bench_mod.run_bench(
         model=args.model,

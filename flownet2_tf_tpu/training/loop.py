@@ -275,12 +275,8 @@ class Trainer:
             image_b = _images_to_float(batch["image_b"])
             flow = batch["flow"]
             if augment:
-                image_a, image_b, flow = augmentation._augment_impl_frozen(
-                    key, image_a, image_b, flow,
-                    (int(preprocess["crop_height"]),
-                     int(preprocess["crop_width"])),
-                    augmentation._freeze(preprocess.get("image_a", {})),
-                    augmentation._freeze(preprocess.get("image_b", {})),
+                image_a, image_b, flow = augmentation.augment_batch(
+                    key, image_a, image_b, flow, preprocess
                 )
             if self.config.remat:
                 preds = model_apply(
@@ -370,8 +366,17 @@ class Trainer:
         return jax.jit(step, donate_argnums=(0,))
 
     def get_step_fn(self, preprocess):
-        key = json.dumps(preprocess, sort_keys=True, default=str) \
-            if preprocess else ""
+        from flownet2_tf_tpu.ops import dispatch
+
+        # keyed by preprocess AND the dispatch trace signature — the
+        # step trace bakes in the thread-local dispatch knobs, so a fit
+        # under a new dispatch context must not reuse an old trace
+        # (trace_signature contract, like _eval_batch_fn)
+        key = (
+            json.dumps(preprocess, sort_keys=True, default=str)
+            if preprocess else "",
+            dispatch.trace_signature(),
+        )
         if key not in self._step_fn_cache:
             self._step_fn_cache[key] = self._build_step(preprocess)
         return self._step_fn_cache[key]
@@ -395,14 +400,15 @@ class Trainer:
             image_a, image_b, flow_gt = augmentation.center_crop_batch(
                 image_a, image_b, flow_gt, preprocess
             )
-        preds = self.model.apply(
-            jax.tree_util.tree_map(np.asarray, jax.device_get(
-                state["params"])),
-            {"input_a": jnp.asarray(image_a), "input_b": jnp.asarray(
-                image_b)},
-            compute_dtype=self.compute_dtype,
-        )
-        pred_flow = np.asarray(preds["flow"])[0]
+        # jitted forward on the DEVICE-RESIDENT params: pulling the full
+        # tree to host (~640 MB for FlowNet2) and running the model
+        # eagerly re-paid the pathological bulk device->host fetch and
+        # per-op weight uploads on every summary. Only the one predicted
+        # flow (H*W*2) crosses to the host.
+        fwd = self._image_summary_fwd()
+        pred_flow = np.asarray(jax.device_get(fwd(
+            state["params"], jnp.asarray(image_a), jnp.asarray(image_b)
+        )))[0]
         writer.image(
             "input_a", np.uint8(np.clip(image_a[0], 0, 1) * 255), step
         )
@@ -412,6 +418,28 @@ class Trainer:
         writer.image("pred_flow", flow_to_image(pred_flow), step)
         writer.image("gt_flow", flow_to_image(np.asarray(flow_gt[0])), step)
         writer.flush()
+
+    def _image_summary_fwd(self):
+        """Cached jitted forward for image summaries (params stay on
+        device; keyed by dispatch.trace_signature like every long-lived
+        jit wrapper around model.apply)."""
+        from flownet2_tf_tpu.ops import dispatch
+
+        sig = dispatch.trace_signature()
+        cache = getattr(self, "_image_summary_cache", None)
+        if cache is None:
+            cache = self._image_summary_cache = {}
+        if sig not in cache:
+            @jax.jit
+            def fwd(params, a, b):
+                preds = self.model.apply(
+                    params, {"input_a": a, "input_b": b},
+                    compute_dtype=self.compute_dtype,
+                )
+                return preds["flow"]
+
+            cache[sig] = fwd
+        return cache[sig]
 
     # -- the loop -----------------------------------------------------------
 
@@ -625,7 +653,24 @@ class Trainer:
         finally:
             prefetcher.close()
             if self._ckpt_mgr is not None:
-                self.save(state, wait=True)
+                # the step fn donates its input state; if a call failed
+                # AFTER dispatch (device OOM, jax_debug_nans trap),
+                # `state` still names the donated — deleted — buffers.
+                # Saving those would raise and mask the real error.
+                deleted = any(
+                    getattr(x, "is_deleted", lambda: False)()
+                    for x in jax.tree_util.tree_leaves(state)
+                    if isinstance(x, jax.Array)
+                )
+                if deleted:
+                    print(
+                        "warning: interrupt checkpoint skipped — the "
+                        "failing step consumed (donated) the live train "
+                        "state; latest on-disk checkpoint is unchanged",
+                        flush=True,
+                    )
+                else:
+                    self.save(state, wait=True)
             if writer:
                 writer.close()
         return state

@@ -121,19 +121,26 @@ def _check_compatible(dst, src, scope):
             )
 
 
-def apply_warm_starts(params, checkpoints: Dict[str, Tuple[str, str]]):
+def apply_warm_starts(params, checkpoints):
     """Splice prior-stage checkpoints into a parameter tree.
 
-    ``checkpoints``: {path: (src_scope, dst_scope)}. Shapes and key sets
-    are verified (the converter test strategy in SURVEY.md §4: 100%
-    variable coverage, shapes asserted).
+    ``checkpoints``: the reference-style dict {path: (src_scope,
+    dst_scope)}, or an iterable of (path, src_scope, dst_scope) tuples —
+    the tuple form allows splicing SEVERAL sub-scopes out of one
+    checkpoint, which a path-keyed dict cannot express. Shapes and key
+    sets are verified (the converter test strategy in SURVEY.md §4:
+    100% variable coverage, shapes asserted).
     """
     import copy
 
     import jax
 
+    if isinstance(checkpoints, dict):
+        entries = [(p, s, d) for p, (s, d) in checkpoints.items()]
+    else:
+        entries = [tuple(e) for e in checkpoints]
     params = copy.deepcopy(jax.device_get(params))
-    for path, (src_scope, dst_scope) in checkpoints.items():
+    for path, src_scope, dst_scope in entries:
         source_tree = load_params_tree(path)
         sub = get_scope(source_tree, src_scope)
         dst = get_scope(params, dst_scope)

@@ -411,15 +411,15 @@ def test_warm_start_spec_parsing():
     malformed specs (VERDICT r2 weak #4)."""
     from flownet2_tf_tpu.cli import parse_warm_start_spec
 
-    assert parse_warm_start_spec("./logs/c:FlowNetC:FlowNetCS/FlowNetC") == {
-        "./logs/c": ("FlowNetC", "FlowNetCS/FlowNetC")
-    }
-    assert parse_warm_start_spec("./logs/flownet_c::FlowNetC") == {
-        "./logs/flownet_c": ("", "FlowNetC")
-    }
-    assert parse_warm_start_spec("gs://bucket/run:A:B") == {
-        "gs://bucket/run": ("A", "B")
-    }
+    assert parse_warm_start_spec("./logs/c:FlowNetC:FlowNetCS/FlowNetC") == (
+        "./logs/c", "FlowNetC", "FlowNetCS/FlowNetC"
+    )
+    assert parse_warm_start_spec("./logs/flownet_c::FlowNetC") == (
+        "./logs/flownet_c", "", "FlowNetC"
+    )
+    assert parse_warm_start_spec("gs://bucket/run:A:B") == (
+        "gs://bucket/run", "A", "B"
+    )
     with pytest.raises(SystemExit, match="PATH:SRC_SCOPE:DST_SCOPE"):
         parse_warm_start_spec("./logs/flownet_c:FlowNetC")
     with pytest.raises(SystemExit, match="PATH:SRC_SCOPE:DST_SCOPE"):

@@ -675,3 +675,39 @@ def test_grad_accum_fit_and_validation(tmp_path):
     )
     with pytest.raises(ValueError, match="grad_accum=3 must divide"):
         bad.fit(loader)
+
+
+def test_warm_start_two_scopes_from_one_checkpoint(tmp_path):
+    """Two --warm_start specs naming the SAME checkpoint must both
+    apply (the old path-keyed dict silently dropped all but the last —
+    r3 review). The list-of-tuples form splices two sub-scopes out of
+    one saved tree; the reference-style dict still works."""
+    from flownet2_tf_tpu.models.registry import get_model
+    from flownet2_tf_tpu.training.warmstart import apply_warm_starts
+
+    cs = jax.device_get(get_model("cs").init(jax.random.PRNGKey(3)))
+    ckpt = tmp_path / "cs_stage.npz"
+    np.savez(ckpt, **warmstart.flatten(cs))
+
+    target = jax.device_get(get_model("cs").init(jax.random.PRNGKey(9)))
+    spliced = apply_warm_starts(
+        target,
+        [
+            (str(ckpt), "FlowNetC", "FlowNetC"),
+            (str(ckpt), "FlowNetS", "FlowNetS"),
+        ],
+    )
+    for scope in ("FlowNetC", "FlowNetS"):
+        got = warmstart.flatten(spliced[scope])
+        want = warmstart.flatten(cs[scope])
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+    # dict form (reference checkpoints={} convention) still accepted
+    spliced2 = apply_warm_starts(
+        target, {str(ckpt): ("FlowNetC", "FlowNetC")}
+    )
+    np.testing.assert_array_equal(
+        warmstart.flatten(spliced2["FlowNetC"])["conv1/weights"],
+        warmstart.flatten(cs["FlowNetC"])["conv1/weights"],
+    )
