@@ -1,5 +1,9 @@
 """Full benchmark sweep: per-op, per-model forward, and train-step
-throughput. Writes benchmarks/results.json and prints a table.
+throughput. Merges its rows into benchmarks/results.json and prints a
+table. The specialized sweeps write their own rows there too:
+serving_batch_sweep.py (serving preset), halfres_warp_ab.py (accuracy
+trade), memory_bench.py (remat/grad_accum HBM), input_pipeline.py,
+spatial_seam.py, aot_serving_bench.py.
 
 Usage: python benchmarks/run_all.py [--quick]
 """
@@ -182,8 +186,17 @@ def main():
         print(f"   {ms:.1f} ms/step, {examples_per_sec:.1f} examples/sec")
 
     out_path = os.path.join(os.path.dirname(__file__), "results.json")
+    # MERGE into the accumulated results: the specialized sweeps
+    # (serving_batch_sweep, halfres_warp_ab, memory_bench, ...) append
+    # their own rows to this file — a plain overwrite would destroy them
+    try:
+        with open(out_path) as f:
+            merged = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        merged = {}
+    merged.update(results)
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=2, default=str)
+        json.dump(merged, f, indent=2, default=str)
     print(f"wrote {out_path}")
 
 
