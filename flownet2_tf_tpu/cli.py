@@ -403,14 +403,32 @@ def cmd_export(args):
         platforms = (
             args.platforms.split(",") if args.platforms else None
         )
-        meta = aot.export_serving(
-            args.model, tree, args.height, args.width, args.out,
-            batch=args.batch, compute_dtype=args.compute_dtype,
-            warp_mode=args.warp_mode, platforms=platforms,
-            data_parallel=args.data_parallel,
-            spatial_tiles=args.spatial_tiles,
-            spatial_overlap=args.spatial_overlap,
-        )
+        if getattr(args, "shapes", None):
+            shapes = []
+            for spec in args.shapes.split(","):
+                parts = spec.lower().split("x")
+                if len(parts) not in (2, 3):
+                    raise SystemExit(
+                        f"--shapes: malformed entry {spec!r}; expected "
+                        "HxW or HxWxB (e.g. 448x1024,384x1280x4)"
+                    )
+                h, w = int(parts[0]), int(parts[1])
+                b = int(parts[2]) if len(parts) == 3 else 1
+                shapes.append((h, w, b))
+            meta = aot.export_serving_bundle(
+                args.model, tree, shapes, args.out,
+                compute_dtype=args.compute_dtype,
+                warp_mode=args.warp_mode, platforms=platforms,
+            )
+        else:
+            meta = aot.export_serving(
+                args.model, tree, args.height, args.width, args.out,
+                batch=args.batch, compute_dtype=args.compute_dtype,
+                warp_mode=args.warp_mode, platforms=platforms,
+                data_parallel=args.data_parallel,
+                spatial_tiles=args.spatial_tiles,
+                spatial_overlap=args.spatial_overlap,
+            )
         print(json.dumps({"out": args.out, **meta}))
         return 0
     flat = warmstart.flatten(tree)
@@ -663,6 +681,14 @@ def build_parser():
     p.add_argument("--height", type=int, default=448)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument(
+        "--shapes", default=None,
+        help="comma list of HxW or HxWxB entries (e.g. "
+             "448x1024,384x1280x4): export ONE bundle .flowpak holding "
+             "a compiled forward per shape with shared weights; the "
+             "loader dispatches per call on the input shape. Overrides "
+             "--height/--width/--batch; single-chip entries only",
+    )
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument(

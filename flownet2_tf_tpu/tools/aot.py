@@ -100,6 +100,68 @@ def _spatial_serving_forward(model_name, compute_dtype, n_tiles, overlap,
     return fn
 
 
+def _export_one(model_name, params, height, width, batch, compute_dtype,
+                warp_mode, platforms, dp, sp, spatial_overlap):
+    """Lower + export one shape-specialized serving forward (the core
+    of export_serving; shared with export_serving_bundle)."""
+    import jax
+    from jax import export as jexport
+
+    from flownet2_tf_tpu.ops import dispatch
+
+    if dp > 1 and sp > 1:
+        raise ValueError("data_parallel and spatial_tiles are exclusive")
+    n_devices = max(dp, sp)
+    if n_devices > 1 and len(jax.devices()) < n_devices:
+        raise ValueError(
+            f"need {n_devices} devices visible at export; have "
+            f"{len(jax.devices())}"
+        )
+    if sp > 1:
+        if batch != 1:
+            raise ValueError("spatial_tiles serving is single-pair "
+                             f"(batch=1); got batch={batch}")
+        _, repl, batched = _serving_mesh(sp)
+        fn = _spatial_serving_forward(model_name, compute_dtype, sp,
+                                      spatial_overlap, batched)
+        jitted = jax.jit(fn, in_shardings=(repl, repl, repl),
+                         out_shardings=repl)
+    elif dp > 1:
+        if batch % dp:
+            raise ValueError(
+                f"data_parallel={dp} needs batch % {dp} == 0: got {batch}"
+            )
+        fn = _serving_forward(model_name, compute_dtype)
+        _, repl, batched = _serving_mesh(dp)
+        jitted = jax.jit(fn, in_shardings=(repl, batched, batched),
+                         out_shardings=batched)
+    else:
+        fn = _serving_forward(model_name, compute_dtype)
+        jitted = jax.jit(fn)
+
+    with contextlib.ExitStack() as stack:
+        if warp_mode == "half":
+            stack.enter_context(dispatch.use_half_res_warp(True))
+        elif warp_mode != "full":
+            raise ValueError(
+                f"warp_mode must be 'half' or 'full': {warp_mode!r}")
+        if platforms is not None and len(platforms) > 1 \
+                and dispatch.get_implementation() == "auto":
+            # 'auto' picks a correlation impl from the EXPORT host's
+            # backend at trace time; a multi-platform artifact must bake
+            # a platform-independent choice. mxu (einsum+skew) is the
+            # measured in-model winner on TPU and runs everywhere.
+            stack.enter_context(dispatch.use_implementation("mxu"))
+        img = jax.ShapeDtypeStruct((batch, height, width, 3), np.float32)
+        p_spec = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params
+        )
+        kwargs = {}
+        if platforms is not None:
+            kwargs["platforms"] = tuple(platforms)
+        return jexport.export(jitted, **kwargs)(p_spec, img, img)
+
+
 def export_serving(model_name, params, height, width, out_path, batch=1,
                    compute_dtype="bfloat16", warp_mode="half",
                    platforms=None, data_parallel=0, spatial_tiles=0,
@@ -145,71 +207,12 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
 
     dp = int(data_parallel) if data_parallel else 0
     sp = int(spatial_tiles) if spatial_tiles else 0
-    if dp > 1 and sp > 1:
-        raise ValueError("data_parallel and spatial_tiles are exclusive")
-    n_devices = max(dp, sp)
-    if n_devices > 1 and len(jax.devices()) < n_devices:
-        raise ValueError(
-            f"need {n_devices} devices visible at export; have "
-            f"{len(jax.devices())}"
-        )
-    if sp > 1:
-        if batch != 1:
-            raise ValueError("spatial_tiles serving is single-pair "
-                             f"(batch=1); got batch={batch}")
-        _, repl, batched = _serving_mesh(sp)
-        fn = _spatial_serving_forward(model_name, compute_dtype, sp,
-                                      spatial_overlap, batched)
-        jitted = jax.jit(fn, in_shardings=(repl, repl, repl),
-                         out_shardings=repl)
-    elif dp > 1:
-        if batch % dp:
-            raise ValueError(
-                f"data_parallel={dp} needs batch % {dp} == 0: got {batch}"
-            )
-        fn = _serving_forward(model_name, compute_dtype)
-        _, repl, batched = _serving_mesh(dp)
-        jitted = jax.jit(fn, in_shardings=(repl, batched, batched),
-                         out_shardings=batched)
-    else:
-        fn = _serving_forward(model_name, compute_dtype)
-        jitted = jax.jit(fn)
-
-    with contextlib.ExitStack() as stack:
-        if warp_mode == "half":
-            stack.enter_context(dispatch.use_half_res_warp(True))
-        elif warp_mode != "full":
-            raise ValueError(f"warp_mode must be 'half' or 'full': {warp_mode!r}")
-        if platforms is not None and len(platforms) > 1 \
-                and dispatch.get_implementation() == "auto":
-            # 'auto' picks a correlation impl from the EXPORT host's
-            # backend at trace time; a multi-platform artifact must bake
-            # a platform-independent choice. mxu (einsum+skew) is the
-            # measured in-model winner on TPU and runs everywhere.
-            stack.enter_context(dispatch.use_implementation("mxu"))
-        img = jax.ShapeDtypeStruct((batch, height, width, 3), np.float32)
-        p_spec = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params
-        )
-        kwargs = {}
-        if platforms is not None:
-            kwargs["platforms"] = tuple(platforms)
-        exported = jexport.export(jitted, **kwargs)(p_spec, img, img)
-
-    flat = warmstart.flatten(jax.tree.map(np.asarray, params))
-    # numpy has no native bfloat16: savez would round-trip bf16 leaves
-    # as opaque void-2 ('|V2') that jax rejects. Store them as uint16
-    # bit patterns with a manifest; load_serving views them back.
-    bf16_leaves = sorted(
-        k for k, v in flat.items() if v.dtype == _bf16_dtype()
+    exported = _export_one(
+        model_name, params, height, width, batch, compute_dtype,
+        warp_mode, platforms, dp, sp, spatial_overlap,
     )
-    bf16_set = set(bf16_leaves)
-    flat = {
-        k: (v.view(np.uint16) if k in bf16_set else v)
-        for k, v in flat.items()
-    }
-    params_buf = io.BytesIO()
-    np.savez(params_buf, **flat)
+
+    params_bytes, bf16_leaves = _encode_params(params)
 
     meta = {
         "format_version": FORMAT_VERSION,
@@ -231,7 +234,89 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED,
                          compresslevel=1) as z:
         z.writestr("exported.bin", exported.serialize())
-        z.writestr("params.npz", params_buf.getvalue())
+        z.writestr("params.npz", params_bytes)
+        z.writestr("meta.json", json.dumps(meta, indent=1))
+    return meta
+
+
+def _encode_params(params):
+    """Flatten + npz-encode a param tree. numpy has no native bfloat16:
+    savez would round-trip bf16 leaves as opaque void-2 ('|V2') that
+    jax rejects — store them as uint16 bit patterns with a manifest;
+    load_serving views them back. Returns (npz bytes, bf16 leaf names).
+    """
+    import jax
+
+    from flownet2_tf_tpu.training import warmstart
+
+    flat = warmstart.flatten(jax.tree.map(np.asarray, params))
+    bf16_leaves = sorted(
+        k for k, v in flat.items() if v.dtype == _bf16_dtype()
+    )
+    bf16_set = set(bf16_leaves)
+    flat = {
+        k: (v.view(np.uint16) if k in bf16_set else v)
+        for k, v in flat.items()
+    }
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    return buf.getvalue(), bf16_leaves
+
+
+BUNDLE_FORMAT_VERSION = 2
+
+
+def export_serving_bundle(model_name, params, shapes, out_path,
+                          compute_dtype="bfloat16", warp_mode="half",
+                          platforms=None):
+    """Export SEVERAL shape-specialized forwards into one ``.flowpak``.
+
+    ``shapes``: iterable of (height, width, batch) — e.g. the Sintel
+    and KITTI serving resolutions plus a high-throughput batched entry.
+    All entries share one copy of the weights; ``load_serving``
+    dispatches per call on the input shape. Exports are still
+    shape-specialized underneath (static shapes are what make the XLA
+    programs fast); the bundle just ships the bucket set the eval
+    path's %64 bucketing implies as ONE artifact. Single-chip entries
+    only (data_parallel/spatial_tiles stay per-shape artifacts).
+    """
+    shapes = [tuple(int(v) for v in s) for s in shapes]
+    if not shapes:
+        raise ValueError("export_serving_bundle needs at least one shape")
+    if len(set(shapes)) != len(shapes):
+        raise ValueError(f"duplicate shapes in bundle: {shapes}")
+    for h, w, b in shapes:
+        if h % 64 or w % 64:
+            raise ValueError(
+                f"serving export shapes must be multiples of 64: {h}x{w}"
+            )
+    if compute_dtype == "bfloat16":
+        from flownet2_tf_tpu.models.common import cast_params_for_inference
+
+        params = cast_params_for_inference(params)
+
+    exports = [
+        _export_one(model_name, params, h, w, b, compute_dtype,
+                    warp_mode, platforms, 0, 0, 0)
+        for h, w, b in shapes
+    ]
+    params_bytes, bf16_leaves = _encode_params(params)
+    meta = {
+        "format_version": BUNDLE_FORMAT_VERSION,
+        "model": model_name,
+        "entries": [
+            {"height": h, "width": w, "batch": b} for h, w, b in shapes
+        ],
+        "compute_dtype": compute_dtype,
+        "warp_mode": warp_mode,
+        "platforms": list(exports[0].platforms),
+        "bf16_leaves": bf16_leaves,
+    }
+    with zipfile.ZipFile(os.fspath(out_path), "w", zipfile.ZIP_DEFLATED,
+                         compresslevel=1) as z:
+        for i, exp in enumerate(exports):
+            z.writestr(f"exported_{i}.bin", exp.serialize())
+        z.writestr("params.npz", params_bytes)
         z.writestr("meta.json", json.dumps(meta, indent=1))
     return meta
 
@@ -317,20 +402,75 @@ class ServingModel:
         return self(a, b)[0, :h, :w]
 
 
+class BundleServingModel:
+    """A multi-shape .flowpak: per-call dispatch on the input shape.
+
+    Entries share one weight copy; ``infer_pair`` picks the smallest
+    batch-1 bucket that fits, pads up, and crops back.
+    """
+
+    def __init__(self, models, meta):
+        self._models = models  # {(batch, height, width): ServingModel}
+        self.meta = meta
+
+    @property
+    def shapes(self):
+        return sorted(self._models)
+
+    def __call__(self, image_a, image_b):
+        a = np.asarray(image_a, np.float32)
+        key = (a.shape[0], a.shape[1], a.shape[2]) if a.ndim == 4 else None
+        if key not in self._models:
+            raise ValueError(
+                f"no bundle entry for inputs {a.shape}; available "
+                f"(batch, height, width): {self.shapes}"
+            )
+        return self._models[key](image_a, image_b)
+
+    def infer_pair(self, image_a, image_b):
+        a = np.asarray(image_a, np.float32)
+        if a.ndim != 3:
+            raise ValueError(f"expected one (H, W, 3) pair: {a.shape}")
+        h, w = a.shape[:2]
+        fits = [
+            (eh * ew, b, eh, ew)
+            for (b, eh, ew) in self._models
+            if b == 1 and eh >= h and ew >= w
+        ]
+        if not fits:
+            raise ValueError(
+                f"no batch-1 bundle entry fits a {h}x{w} pair; available "
+                f"(batch, height, width): {self.shapes}"
+            )
+        _, b, eh, ew = min(fits)
+        return self._models[(b, eh, ew)].infer_pair(image_a, image_b)
+
+
 def load_serving(path):
-    """Load a .flowpak written by :func:`export_serving`."""
+    """Load a .flowpak written by :func:`export_serving` (single shape)
+    or :func:`export_serving_bundle` (shape-dispatching bundle)."""
     from jax import export as jexport
 
     from flownet2_tf_tpu.training import warmstart
 
     with zipfile.ZipFile(os.fspath(path)) as z:
         meta = json.loads(z.read("meta.json"))
-        if meta.get("format_version") != FORMAT_VERSION:
+        version = meta.get("format_version")
+        if version not in (FORMAT_VERSION, BUNDLE_FORMAT_VERSION):
             raise ValueError(f"unsupported .flowpak version: {meta}")
-        exported = jexport.deserialize(z.read("exported.bin"))
         with np.load(io.BytesIO(z.read("params.npz"))) as npz:
             flat = dict(npz)
         for k in meta.get("bf16_leaves", ()):
             flat[k] = flat[k].view(_bf16_dtype())
         params = warmstart.unflatten(flat)
-    return ServingModel(exported, params, meta)
+        if version == FORMAT_VERSION:
+            exported = jexport.deserialize(z.read("exported.bin"))
+            return ServingModel(exported, params, meta)
+        models = {}
+        for i, entry in enumerate(meta["entries"]):
+            exported = jexport.deserialize(z.read(f"exported_{i}.bin"))
+            entry_meta = dict(meta, **entry)
+            models[(entry["batch"], entry["height"], entry["width"])] = (
+                ServingModel(exported, params, entry_meta)
+            )
+    return BundleServingModel(models, meta)

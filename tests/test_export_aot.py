@@ -241,3 +241,83 @@ def test_cli_export_aot(tmp_path, s_params):
     flow = sm(np.zeros((1, 64, 64, 3), np.float32),
               np.zeros((1, 64, 64, 3), np.float32))
     assert np.isfinite(flow).all()
+
+
+def test_bundle_export_dispatches_on_shape(tmp_path, s_params):
+    """A bundle .flowpak holds several shape-specialized forwards with
+    ONE shared weight copy; the loader dispatches per call on the input
+    shape, and infer_pair picks the smallest batch-1 bucket that
+    fits."""
+    from flownet2_tf_tpu.training.infer import infer_flow
+
+    path = tmp_path / "s_bundle.flowpak"
+    meta = aot.export_serving_bundle(
+        "s", s_params, [(64, 64, 1), (64, 128, 1), (64, 64, 2)], path,
+        compute_dtype="float32", warp_mode="full",
+    )
+    assert meta["format_version"] == aot.BUNDLE_FORMAT_VERSION
+    assert len(meta["entries"]) == 3
+
+    sm = aot.load_serving(path)
+    assert sm.shapes == [(1, 64, 64), (1, 64, 128), (2, 64, 64)]
+    rng = np.random.RandomState(7)
+    for shape in ((1, 64, 64, 3), (1, 64, 128, 3), (2, 64, 64, 3)):
+        a = rng.rand(*shape).astype(np.float32)
+        b = rng.rand(*shape).astype(np.float32)
+        got = sm(a, b)
+        ref = np.asarray(infer_flow("s", s_params, a, b,
+                                    compute_dtype="float32"))
+        assert got.shape == shape[:3] + (2,)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    # no matching entry -> loud error listing what IS available
+    with pytest.raises(ValueError, match="available"):
+        sm(np.zeros((1, 128, 128, 3), np.float32),
+           np.zeros((1, 128, 128, 3), np.float32))
+
+    # infer_pair: 64x100 pair -> the (1, 64, 128) bucket, cropped back
+    a1 = rng.rand(64, 100, 3).astype(np.float32)
+    b1 = rng.rand(64, 100, 3).astype(np.float32)
+    flow = sm.infer_pair(a1, b1)
+    assert flow.shape == (64, 100, 2)
+    assert np.isfinite(flow).all()
+    # nothing fits a taller pair
+    with pytest.raises(ValueError, match="no batch-1 bundle entry"):
+        sm.infer_pair(np.zeros((128, 64, 3), np.float32),
+                      np.zeros((128, 64, 3), np.float32))
+
+
+def test_bundle_rejects_bad_shapes(tmp_path, s_params):
+    with pytest.raises(ValueError, match="multiples of 64"):
+        aot.export_serving_bundle("s", s_params, [(60, 64, 1)],
+                                  tmp_path / "x.flowpak")
+    with pytest.raises(ValueError, match="duplicate"):
+        aot.export_serving_bundle(
+            "s", s_params, [(64, 64, 1), (64, 64, 1)],
+            tmp_path / "x.flowpak")
+    with pytest.raises(ValueError, match="at least one"):
+        aot.export_serving_bundle("s", s_params, [],
+                                  tmp_path / "x.flowpak")
+
+
+def test_cli_export_bundle(tmp_path, s_params, capsys):
+    import json as _json
+
+    from flownet2_tf_tpu import cli
+    from flownet2_tf_tpu.training import warmstart
+
+    ckpt = tmp_path / "s.npz"
+    np.savez(ckpt, **warmstart.flatten(jax.device_get(s_params)))
+    out = tmp_path / "bundle.flowpak"
+    rc = cli.main([
+        "export", "--aot", "--model", "s", "--ckpt", str(ckpt),
+        "--shapes", "64x64,64x128x2", "--compute_dtype", "float32",
+        "--warp_mode", "full", "--out", str(out),
+    ])
+    assert rc == 0
+    meta = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [tuple((e["batch"], e["height"], e["width"]))
+            for e in meta["entries"]] == [(1, 64, 64), (2, 64, 128)]
+    sm = aot.load_serving(out)
+    a = np.random.RandomState(0).rand(2, 64, 128, 3).astype(np.float32)
+    assert sm(a, a).shape == (2, 64, 128, 2)
