@@ -24,6 +24,7 @@ experiments; 'clamp' is the default, matching the TF1 port.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -123,10 +124,54 @@ def half_res_warp_enabled() -> bool:
     return os.environ.get("FLOWNET2_TPU_HALF_RES_WARP", "0") == "1"
 
 
+# The 2x2 pool feeding every half-res warp admits four XLA lowerings.
+# The serving-preset op ledger charges ~1.0 ms/pair to the reshape-mean
+# form (reshape.208 + reduce.2), so all four were A/B'd IN-MODEL
+# (benchmarks/pool_ab.py — FlowNet2 448x1024 b1 bf16 serving):
+# reshape 14.17 < window 14.45 < conv 14.67 << slices 18.34 ms/pair.
+# NEGATIVE RESULT: the reshape-mean original stays — the ledger's
+# 1.0 ms is dominated by the f32 input relayout every lowering pays,
+# not by the reduce itself, and the conv-lowering trick that won for
+# the S2D input fold (common.py) does NOT transfer here (the fold conv
+# replaced a 6-D transpose; the pool's reduce was already near-free).
+# All four are the same sum-of-4-then-*0.25 up to float reassociation
+# (pinned by tests/test_ops_oracle.py::test_pool2_impls); the knob
+# stays for remeasurement on future XLA versions.
+_POOL2_IMPL = _os.environ.get("FLOWNET2_TPU_POOL2", "reshape")
+
+
 def _pool2(x):
     """Exact 2x2 area downsample (H, W even — guaranteed by the %64
-    input contract)."""
+    input contract). Lowering picked by FLOWNET2_TPU_POOL2 (see above);
+    all variants are numerically equivalent up to f32 reassociation."""
     n, h, w, c = x.shape
+    impl = _POOL2_IMPL
+    if impl == "window":
+        s = jax.lax.reduce_window(
+            x, jnp.zeros((), x.dtype), jax.lax.add,
+            (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+        )
+        return s * jnp.asarray(0.25, x.dtype)
+    if impl == "slices":
+        s = (
+            x[:, 0::2, 0::2] + x[:, 0::2, 1::2]
+            + x[:, 1::2, 0::2] + x[:, 1::2, 1::2]
+        )
+        return s * jnp.asarray(0.25, x.dtype)
+    if impl == "conv":
+        # sum-of-4 as a 2x2/2 identity conv (HIGHEST so 1.0*x is exact
+        # even on the f32 path — common.py S2D-fold precedent), scaled
+        # after, preserving the sum-then-scale rounding order.
+        eye = jnp.eye(c, dtype=x.dtype)
+        k = jnp.broadcast_to(eye[None, None], (2, 2, c, c))
+        s = jax.lax.conv_general_dilated(
+            x, k, window_strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=x.dtype,
+        )
+        return s * jnp.asarray(0.25, x.dtype)
+    # "reshape": the original 5-D reshape + mean-reduce
     x = x.reshape(n, h // 2, 2, w // 2, 2, c)
     return x.mean(axis=(2, 4))
 

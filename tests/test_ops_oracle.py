@@ -331,6 +331,28 @@ def test_bilinear_gather_large_batch_lax_map_path(rng):
 # Half-resolution stack warp (flag-gated approximation)
 # ---------------------------------------------------------------------------
 
+def test_pool2_impls_equivalent(rng):
+    """The four _pool2 lowerings (FLOWNET2_TPU_POOL2: reshape / window /
+    slices / conv) are the same 2x2 area average up to f32
+    reassociation — speed alone picks the default (benchmarks/
+    pool_ab.py; the in-model A/B kept 'reshape')."""
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+
+    x = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32))
+    ref = np.asarray(x).reshape(2, 8, 2, 12, 2, 3).mean(axis=(2, 4))
+    orig = fw._POOL2_IMPL
+    try:
+        for impl in ("reshape", "window", "slices", "conv"):
+            fw._POOL2_IMPL = impl
+            np.testing.assert_allclose(
+                np.asarray(fw._pool2(x)), ref, rtol=0, atol=1e-6,
+                err_msg=impl,
+            )
+    finally:
+        fw._POOL2_IMPL = orig
+
+
 def test_stack_warp_defaults_to_full_res(rng):
     """With the flag off (default), stack_warp IS flow_warp."""
     import importlib
