@@ -31,6 +31,13 @@ def _add_common_model_arg(p):
              "trade)",
     )
     p.add_argument(
+        "--warp_res", default=None, type=int, choices=[1, 2, 4],
+        help="stack-warp grid factor: 1 exact, 2 half (= "
+             "--half_res_warp), 4 quarter (measured trade: "
+             "benchmarks/results.json::warp_res_ab); overrides "
+             "--half_res_warp",
+    )
+    p.add_argument(
         "--f32_features", default=None, choices=["highest", "default"],
         help="matmul precision for feature convs on the f32 path "
              "(default: highest — the parity setting)",
@@ -44,6 +51,8 @@ def _apply_perf_flags(args):
 
     if getattr(args, "half_res_warp", False):
         os.environ["FLOWNET2_TPU_HALF_RES_WARP"] = "1"
+    if getattr(args, "warp_res", None):
+        os.environ["FLOWNET2_TPU_WARP_RES"] = str(args.warp_res)
     if getattr(args, "f32_features", None):
         os.environ["FLOWNET2_TPU_F32_FEATURES"] = args.f32_features
 
@@ -692,9 +701,12 @@ def build_parser():
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument(
-        "--warp_mode", default="half", choices=["half", "full"],
+        "--warp_mode", default="half",
+        choices=["half", "quarter", "full"],
         help="half = serving preset (1.55x, +0.006 px AEE on trained "
-             "weights); full = exact warps (parity path)",
+             "weights); quarter = coarser still (measured trade: "
+             "results.json::warp_res_ab); full = exact warps (parity "
+             "path)",
     )
     p.add_argument(
         "--platforms", default=None,

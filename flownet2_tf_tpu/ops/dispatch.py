@@ -158,7 +158,9 @@ def use_bf16_interconv(enabled):
 def get_half_res_warp():
     """Thread-local override for half-resolution warping: None (use the
     ``FLOWNET2_TPU_HALF_RES_WARP`` env default in ``ops.flow_warp``),
-    True, or False."""
+    True, or False. Subsumed by :func:`get_warp_res` (a warp_res
+    override takes precedence); kept as the stable public knob for the
+    measured-and-adopted serving preset (k=2)."""
     return getattr(_state, "half_res_warp", None)
 
 
@@ -174,6 +176,38 @@ def use_half_res_warp(enabled):
         _state.half_res_warp = prev
 
 
+_WARP_RES_VALID = (1, 2, 4)
+
+
+def get_warp_res():
+    """Thread-local override for the stack-warp coordinate-grid factor:
+    None (defer to half_res_warp / env defaults), or 1 / 2 / 4.
+
+    The warp gather is issue-rate-bound (~4.5 ns/record,
+    docs/DESIGN.md), so a k-times-coarser grid cuts its cost ~k^2; the
+    warped image is upsampled back. k=2 is the measured serving preset;
+    k=4 exists for the quarter-res experiment (benchmarks/
+    warp_res_ab.py) — check the measured AEE deltas before enabling."""
+    return getattr(_state, "warp_res", None)
+
+
+@contextlib.contextmanager
+def use_warp_res(k):
+    """Force the stack-warp grid factor to ``k`` (1 = exact full-res,
+    2 = half, 4 = quarter; None = defaults) for model traces on this
+    thread."""
+    if k is not None and k not in _WARP_RES_VALID:
+        raise ValueError(
+            f"warp_res must be one of {_WARP_RES_VALID} or None, got {k!r}"
+        )
+    prev = getattr(_state, "warp_res", None)
+    _state.warp_res = k
+    try:
+        yield
+    finally:
+        _state.warp_res = prev
+
+
 def trace_signature() -> tuple:
     """Hashable snapshot of every dispatch knob that shapes a model
     trace.
@@ -184,7 +218,7 @@ def trace_signature() -> tuple:
     static argument — otherwise a call under a different
     ``use_half_res_warp``/``use_implementation``/... context silently
     hits the cache entry traced under the OLD configuration."""
-    from flownet2_tf_tpu.ops.flow_warp import half_res_warp_enabled
+    from flownet2_tf_tpu.ops.flow_warp import stack_warp_res
     from flownet2_tf_tpu.models import common as _common
 
     return (
@@ -193,7 +227,7 @@ def trace_signature() -> tuple:
         _common.S2D_HEAD7 if get_s2d_override() is None
         else ("override", bool(get_s2d_override())),
         get_f32_features_precision(),
-        half_res_warp_enabled(),
+        stack_warp_res(),
         get_bf16_interconv(),
     )
 

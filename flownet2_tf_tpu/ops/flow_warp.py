@@ -101,27 +101,48 @@ def _flow_warp_multi_impl(image, flows, border, gather_dtype=None):
 # Half-resolution warping (approximate, flag-gated)
 # ---------------------------------------------------------------------------
 
-def half_res_warp_enabled() -> bool:
-    """Whether the STACK warps (CS/CSS second-stage input, FlowNet2
-    fusion branch warps) run at half resolution.
+def stack_warp_res() -> int:
+    """The stack-warp coordinate-grid factor k: 1 (exact full-res),
+    2 (half) or 4 (quarter).
 
     The full-res warp gather is issue-rate-bound inside XLA's gather
     emitter (~4.5 ns per gathered record regardless of record width —
-    docs/DESIGN.md roofline), so halving the coordinate grid cuts the
-    cost ~4x. The warped image is then bilinearly upsampled back to
-    full resolution. This is an APPROXIMATION: the warped image loses
+    docs/DESIGN.md roofline), so a k-times-coarser coordinate grid cuts
+    the cost ~k^2. The warped image is bilinearly upsampled back to
+    full resolution. k>1 is an APPROXIMATION: the warped image loses
     high frequencies (the stage flows themselves are upsampled
-    quarter-res fields, so the flow input is less affected). Off by
-    default; enable with FLOWNET2_TPU_HALF_RES_WARP=1 or
-    ``dispatch.use_half_res_warp(True)`` after checking the measured
-    AEE deltas in docs/DESIGN.md.
-    """
-    import os
+    quarter-res fields, so the flow input is less affected). Default
+    k=1; the serving preset uses k=2 (measured +0.006 px AEE for 1.55x
+    — docs/DESIGN.md); k=4 per benchmarks/warp_res_ab.py.
 
+    Resolution order: ``dispatch.use_warp_res`` override >
+    ``dispatch.use_half_res_warp`` override > ``FLOWNET2_TPU_WARP_RES``
+    env > ``FLOWNET2_TPU_HALF_RES_WARP`` env > 1.
+    """
+    k = dispatch.get_warp_res()
+    if k is not None:
+        return int(k)
     override = dispatch.get_half_res_warp()
     if override is not None:
-        return bool(override)
-    return os.environ.get("FLOWNET2_TPU_HALF_RES_WARP", "0") == "1"
+        return 2 if override else 1
+    env_k = _os.environ.get("FLOWNET2_TPU_WARP_RES", "")
+    if env_k:
+        k = int(env_k)
+        if k not in dispatch._WARP_RES_VALID:
+            raise ValueError(
+                f"FLOWNET2_TPU_WARP_RES must be one of "
+                f"{dispatch._WARP_RES_VALID}, got {env_k!r}"
+            )
+        return k
+    if _os.environ.get("FLOWNET2_TPU_HALF_RES_WARP", "0") == "1":
+        return 2
+    return 1
+
+
+def half_res_warp_enabled() -> bool:
+    """Back-compat alias: whether stack warps run coarser than full
+    res (see :func:`stack_warp_res`)."""
+    return stack_warp_res() > 1
 
 
 # The 2x2 pool feeding every half-res warp admits four XLA lowerings.
@@ -176,36 +197,66 @@ def _pool2(x):
     return x.mean(axis=(2, 4))
 
 
-def flow_warp_half(image, flow, border: str = "clamp", gather_dtype=None):
-    """``flow_warp`` computed on a 2x2-pooled image with halved flow
-    coordinates, bilinearly upsampled back to (H, W). ~4x fewer gather
-    records; numerics differ from the full-res warp (see
-    half_res_warp_enabled)."""
+def _pool(x, k):
+    """Exact k x k area downsample (k in {1, 2, 4}; H, W % k == 0,
+    guaranteed by the %64 input contract)."""
+    if k == 1:
+        return x
+    if k == 2:
+        return _pool2(x)
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // k, k, w // k, k, c)
+    return x.mean(axis=(2, 4))
+
+
+def _coarse_flow(flow_pooled, k):
+    """Scale a k-pooled flow into coarse-grid pixels, compensating the
+    pooled grid's (k-1)/2-px offset: pooled pixel j sits at full-res
+    k*j + (k-1)/2 while the TF1 upsample (corner-aligned out_x/k
+    mapping) reads coarse position x/k for output x — composing the
+    two without compensation shifts the warp by exactly +(k-1)/2
+    full-res px (the smooth-content unit test catches the shift as a
+    first-order error; the k=2 constant -0.25 was verified there
+    first)."""
+    return flow_pooled * (1.0 / k) - (k - 1) / (2.0 * k)
+
+
+def flow_warp_coarse(image, flow, k, border: str = "clamp",
+                     gather_dtype=None):
+    """``flow_warp`` computed on a k x k-pooled image with the flow
+    rescaled into coarse pixels, bilinearly upsampled back to (H, W).
+    ~k^2 fewer gather records; numerics differ from the full-res warp
+    (see stack_warp_res)."""
     from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
 
     n, h, w, c = image.shape
-    image_h = _pool2(image)
-    # flow scaled into half-res pixels, MINUS the 0.25-px grid offset:
-    # pooled pixel k sits at full-res 2k+0.5 while the TF1 upsample
-    # (corner-aligned out_x/2 mapping) reads half-res position x/2 for
-    # output x — composing the two without compensation shifts the
-    # result by exactly +0.5 full-res px (verified by the smooth-content
-    # unit test, which catches the shift as a first-order error).
-    flow_h = _pool2(flow) * 0.5 - 0.25
-    warped_h = _flow_warp_oracle(image_h, flow_h, border, gather_dtype)
-    return resize_bilinear_tf1(warped_h, h, w)
+    image_c = _pool(image, k)
+    flow_c = _coarse_flow(_pool(flow, k), k)
+    warped_c = _flow_warp_oracle(image_c, flow_c, border, gather_dtype)
+    return resize_bilinear_tf1(warped_c, h, w)
+
+
+def flow_warp_half(image, flow, border: str = "clamp", gather_dtype=None):
+    """``flow_warp_coarse`` at k=2 (the measured serving preset)."""
+    return flow_warp_coarse(image, flow, 2, border, gather_dtype)
+
+
+def flow_warp_multi_coarse(image, flows, k, border: str = "clamp",
+                           gather_dtype=None):
+    """Coarse-grid variant of :func:`flow_warp_multi`."""
+    from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
+
+    n, h, w, c = image.shape
+    image_c = _pool(image, k)
+    flows_c = _coarse_flow(_pool(flows, k), k)
+    warped_c = _flow_warp_multi_impl(image_c, flows_c, border, gather_dtype)
+    return resize_bilinear_tf1(warped_c, h, w)
 
 
 def flow_warp_multi_half(image, flows, border: str = "clamp",
                          gather_dtype=None):
-    """Half-resolution variant of :func:`flow_warp_multi`."""
-    from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
-
-    n, h, w, c = image.shape
-    image_h = _pool2(image)
-    flows_h = _pool2(flows) * 0.5 - 0.25  # grid offset: see flow_warp_half
-    warped_h = _flow_warp_multi_impl(image_h, flows_h, border, gather_dtype)
-    return resize_bilinear_tf1(warped_h, h, w)
+    """:func:`flow_warp_multi_coarse` at k=2."""
+    return flow_warp_multi_coarse(image, flows, 2, border, gather_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -291,19 +342,40 @@ def _pool2_from_s2d(x_s2d):
     return x_s2d.reshape(n, h, w, 4, c).mean(axis=3)
 
 
-def _half_res_warp_s2d(image, flow_src, pool_flow, warp_impl, border,
-                       gather_dtype):
-    """The shared half-res branch of every stack_warp_s2d* variant:
-    pool the image, scale the pooled flow into half-res pixels MINUS
-    the 0.25-px grid offset (derivation: flow_warp_half), warp at half
-    res, S2D-encode the exact 2x upsample. One home for the offset
+def _coarse_warp_s2d(image, flow_src, pool_flow, warp_impl, border,
+                     gather_dtype, k):
+    """The shared coarse-grid (k=2/4) branch of every stack_warp_s2d*
+    variant: pool the image by k, rescale the pooled flow into coarse
+    pixels with the grid-offset compensation (derivation:
+    _coarse_flow), warp on the coarse grid, then bring the result back
+    in S2D-encoded (h/2-grid, phase-major) form. For k=2 the 2x
+    upsample is emitted analytically (s2d_encode_upsample2x — no
+    resize gather); for k=4 one real TF1 2x resize lifts h/4 -> h/2
+    first (dyadic TF1 resizes compose exactly, so resize2x followed by
+    the encoded 2x equals the 4x upsample). One home for the offset
     constant and its correctness argument."""
     from flownet2_tf_tpu.models.common import s2d_encode_upsample2x
+    from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
 
-    image_h = _pool2(image)
-    flow_h = pool_flow(flow_src) * 0.5 - 0.25
-    warped_h = warp_impl(image_h, flow_h, border, gather_dtype)
-    return s2d_encode_upsample2x(warped_h)
+    n, h, w, _c = image.shape
+    image_c = _pool(image, k)
+    flow_c = _coarse_flow(pool_flow(flow_src, k), k)
+    warped_c = warp_impl(image_c, flow_c, border, gather_dtype)
+    if k == 4:
+        warped_c = resize_bilinear_tf1(warped_c, h // 2, w // 2)
+    return s2d_encode_upsample2x(warped_c)
+
+
+def _pool_full(flow, k):
+    """k-pool a full-res (n, h, w, 2) flow."""
+    return _pool(flow, k)
+
+
+def _pool_from_s2d(flow_s2d, k):
+    """k-pool the DECODED flow from its S2D-encoded (n, h/2, w/2, 8)
+    form: the phase mean IS the 2x pool; k=4 pools the result 2x more."""
+    pooled2 = _pool2_from_s2d(flow_s2d)
+    return pooled2 if k == 2 else _pool2(pooled2)
 
 
 def stack_warp_s2d(image, flow, border: str = "clamp", gather_dtype=None):
@@ -315,9 +387,10 @@ def stack_warp_s2d(image, flow, border: str = "clamp", gather_dtype=None):
     rounding). Used by the stage-2/fusion S2D assembly
     (models/stacks.py) so the full-res warped image never materializes
     in row-major layout."""
-    if half_res_warp_enabled():
-        return _half_res_warp_s2d(image, flow, _pool2, _flow_warp_oracle,
-                                  border, gather_dtype)
+    k = stack_warp_res()
+    if k > 1:
+        return _coarse_warp_s2d(image, flow, _pool_full,
+                                _flow_warp_oracle, border, gather_dtype, k)
     return _stack_warp_s2d_full(image, flow, border, gather_dtype)
 
 
@@ -364,9 +437,10 @@ def stack_warp_s2d_enc(image, flow_s2d, border: str = "clamp",
     already has (models/stacks.py::_stage_flow_s2d), so the full-res
     row-major flow never materializes; each phase's (u, v) is a channel
     slice."""
-    if half_res_warp_enabled():
-        return _half_res_warp_s2d(image, flow_s2d, _pool2_from_s2d,
-                                  _flow_warp_oracle, border, gather_dtype)
+    k = stack_warp_res()
+    if k > 1:
+        return _coarse_warp_s2d(image, flow_s2d, _pool_from_s2d,
+                                _flow_warp_oracle, border, gather_dtype, k)
     return _stack_warp_s2d_enc_full(image, flow_s2d, border, gather_dtype)
 
 
@@ -415,10 +489,11 @@ def stack_warp_multi_s2d_enc(image, flows_s2d, border: str = "clamp",
             f"stack_warp_multi_s2d_enc expects a (1, H, W, C) image, "
             f"got {image.shape}"
         )
-    if half_res_warp_enabled():
-        return _half_res_warp_s2d(image, flows_s2d, _pool2_from_s2d,
-                                  _flow_warp_multi_impl, border,
-                                  gather_dtype)
+    k = stack_warp_res()
+    if k > 1:
+        return _coarse_warp_s2d(image, flows_s2d, _pool_from_s2d,
+                                _flow_warp_multi_impl, border,
+                                gather_dtype, k)
     return _stack_warp_multi_s2d_enc_full(image, flows_s2d, border,
                                           gather_dtype)
 
@@ -455,10 +530,11 @@ def stack_warp_multi_s2d(image, flows, border: str = "clamp",
             f"stack_warp_multi_s2d expects a (1, H, W, C) image, "
             f"got {image.shape}"
         )
-    if half_res_warp_enabled():
-        return _half_res_warp_s2d(image, flows, _pool2,
-                                  _flow_warp_multi_impl, border,
-                                  gather_dtype)
+    k = stack_warp_res()
+    if k > 1:
+        return _coarse_warp_s2d(image, flows, _pool_full,
+                                _flow_warp_multi_impl, border,
+                                gather_dtype, k)
     return _stack_warp_multi_s2d_full(image, flows, border, gather_dtype)
 
 
@@ -485,18 +561,20 @@ def _stack_warp_multi_s2d_full(image, flows, border, gather_dtype=None):
 
 def stack_warp(image, flow, border: str = "clamp", gather_dtype=None):
     """The warp used at STACK boundaries (second-stage inputs, fusion
-    branches): full-res flow_warp, or the half-res approximation when
-    enabled."""
-    if half_res_warp_enabled():
-        return flow_warp_half(image, flow, border, gather_dtype)
+    branches): full-res flow_warp, or the coarse-grid approximation at
+    the configured factor (stack_warp_res)."""
+    k = stack_warp_res()
+    if k > 1:
+        return flow_warp_coarse(image, flow, k, border, gather_dtype)
     return flow_warp(image, flow, border, gather_dtype=gather_dtype)
 
 
 def stack_warp_multi(image, flows, border: str = "clamp",
                      gather_dtype=None):
     """Multi-flow stack warp (FlowNet2 fusion double warp)."""
-    if half_res_warp_enabled():
-        return flow_warp_multi_half(image, flows, border, gather_dtype)
+    k = stack_warp_res()
+    if k > 1:
+        return flow_warp_multi_coarse(image, flows, k, border, gather_dtype)
     return flow_warp_multi(image, flows, border, gather_dtype=gather_dtype)
 
 

@@ -142,9 +142,12 @@ def _export_one(model_name, params, height, width, batch, compute_dtype,
     with contextlib.ExitStack() as stack:
         if warp_mode == "half":
             stack.enter_context(dispatch.use_half_res_warp(True))
+        elif warp_mode == "quarter":
+            stack.enter_context(dispatch.use_warp_res(4))
         elif warp_mode != "full":
             raise ValueError(
-                f"warp_mode must be 'half' or 'full': {warp_mode!r}")
+                f"warp_mode must be 'half', 'quarter' or 'full': "
+                f"{warp_mode!r}")
         if platforms is not None and len(platforms) > 1 \
                 and dispatch.get_implementation() == "auto":
             # 'auto' picks a correlation impl from the EXPORT host's

@@ -483,6 +483,84 @@ def test_stack_warp_s2d_half_res_mode(rng):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
 
+def test_stack_warp_s2d_quarter_res_mode(rng):
+    """k=4: every stack_warp_s2d* variant equals the fold of the plain
+    quarter-res warp (which pools by 4 and upsamples 4x via one real
+    2x resize + the analytic encoded 2x — dyadic TF1 resizes compose
+    exactly)."""
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+    from flownet2_tf_tpu.models import common
+    from flownet2_tf_tpu.ops import dispatch
+
+    img = jnp.asarray(rng.rand(1, 16, 24, 3).astype(np.float32))
+    flo = jnp.asarray((rng.rand(1, 16, 24, 2) * 3 - 1.5).astype(np.float32))
+    flows = jnp.asarray((rng.rand(2, 16, 24, 2) * 3 - 1.5).astype(np.float32))
+
+    with dispatch.use_warp_res(4):
+        assert fw.stack_warp_res() == 4
+        got = np.asarray(fw.stack_warp_s2d(img, flo))
+        want = np.asarray(common.space_to_depth(fw.stack_warp(img, flo)))
+        got_m = np.asarray(fw.stack_warp_multi_s2d(img, flows))
+        want_m = np.asarray(
+            common.space_to_depth(fw.stack_warp_multi(img, flows))
+        )
+        # the ENCODED-flow variant must agree with the full-res-flow
+        # variant: _pool_from_s2d (phase mean + pool2) == _pool(flow, 4)
+        enc = common.space_to_depth(flo)  # phase-major (qy,qx,(u,v))
+        got_e = np.asarray(fw.stack_warp_s2d_enc(img, enc))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(got_m, want_m, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(got_e, got, rtol=0, atol=1e-5)
+
+
+def test_coarse_warp_grid_offset_compensation(rng):
+    """A constant integer-pixel flow must warp identically at k=1/2/4
+    up to pooling blur — an uncompensated coarse grid shifts the
+    result by exactly (k-1)/2 px, which this catches as a first-order
+    error on a smooth gradient image."""
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+
+    h, w = 32, 48
+    yy, xx = np.meshgrid(
+        np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32),
+        indexing="ij",
+    )
+    img = jnp.asarray(
+        np.stack([xx / w, yy / h, (xx - yy) / (h + w)], -1)[None]
+    )
+    flo = jnp.asarray(np.full((1, h, w, 2), 4.0, np.float32))
+    full = np.asarray(fw.flow_warp(img, flo))
+    for k in (2, 4):
+        coarse = np.asarray(fw.flow_warp_coarse(img, flo, k))
+        err = np.abs(coarse[0, 8:-8, 8:-8] - full[0, 8:-8, 8:-8]).max()
+        # a (k-1)/2-px shift on the x/w ramp would be ~0.008-0.03
+        assert err < 2e-3, (k, err)
+
+
+def test_warp_res_resolution_order():
+    """use_warp_res overrides use_half_res_warp overrides env."""
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+    from flownet2_tf_tpu.ops import dispatch
+
+    assert fw.stack_warp_res() == 1
+    with dispatch.use_half_res_warp(True):
+        assert fw.stack_warp_res() == 2
+        with dispatch.use_warp_res(4):
+            assert fw.stack_warp_res() == 4
+        assert fw.stack_warp_res() == 2
+    with dispatch.use_warp_res(1):
+        with dispatch.use_half_res_warp(True):
+            # explicit warp_res wins even over an inner half_res ctx
+            assert fw.stack_warp_res() == 1
+    import pytest
+    with pytest.raises(ValueError):
+        with dispatch.use_warp_res(3):
+            pass
+
+
 def test_s2d_encode_upsample2x_matches_resize_fold(rng):
     from flownet2_tf_tpu.models import common
     from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
