@@ -59,17 +59,30 @@ def maybe_initialize_distributed(enable: bool = False) -> bool:
             "under a managed TPU-pod/SLURM/MPI environment that JAX "
             "auto-detects)"
         )
-    if manual:
-        # jax.distributed.initialize() does NOT read these env names
-        # (its auto-detection only covers the managed cluster plugins),
-        # so the manual path must pass them as arguments.
-        jax.distributed.initialize(
-            coordinator_address=os.environ["COORDINATOR_ADDRESS"],
-            num_processes=int(os.environ["NUM_PROCESSES"]),
-            process_id=int(os.environ["PROCESS_ID"]),
-        )
-    else:
-        jax.distributed.initialize()
+    try:
+        if manual:
+            # jax.distributed.initialize() does NOT read these env names
+            # (its auto-detection only covers the managed cluster
+            # plugins), so the manual path must pass them as arguments.
+            jax.distributed.initialize(
+                coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["NUM_PROCESSES"]),
+                process_id=int(os.environ["PROCESS_ID"]),
+            )
+        else:
+            jax.distributed.initialize()
+    except RuntimeError as e:
+        if "must be called before" in str(e):
+            # importing Trainer/models first already initialized the
+            # backend — a trap this hook's own verification drive hit
+            raise RuntimeError(
+                "maybe_initialize_distributed must run before anything "
+                "touches the JAX backend: import "
+                "flownet2_tf_tpu.parallel.mesh and call it FIRST, then "
+                "import/construct Trainer, models, loaders (their "
+                "imports may initialize XLA)"
+            ) from e
+        raise
     return True
 
 
@@ -105,8 +118,29 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """device_put a host batch with the batch axis sharded on the mesh."""
+    """device_put a host batch with the batch axis sharded on the mesh.
+
+    Under multi-process SPMD (``jax.process_count() > 1``, after
+    :func:`maybe_initialize_distributed`) the given batch is this
+    PROCESS'S LOCAL SHARD — the standard each-host-loads-its-own-slice
+    pattern — and the returned arrays are global, with global batch =
+    local batch x process_count assembled via
+    ``jax.make_array_from_process_local_data``. Single-process (this
+    environment) keeps the plain sharded device_put. Cross-process
+    semantics are pinned by tests/test_multiprocess.py (2 CPU
+    processes, Gloo collectives)."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        nproc = jax.process_count()
+
+        def put(x):
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, x, global_shape
+            )
+
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

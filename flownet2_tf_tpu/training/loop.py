@@ -558,7 +558,21 @@ class Trainer:
                     f"({bsz}): each step scans over {accum} equal "
                     "microbatches"
                 )
-            adapted = mesh_lib.mesh_for_batch(bsz, self.mesh)
+            if jax.process_count() > 1:
+                # the loader batch is this process's LOCAL shard
+                # (mesh_lib.shard_batch); the mesh cannot be shrunk here
+                # — dropping devices would break the per-process shard
+                # layout — so an indivisible global batch is an error.
+                bsz_global = bsz * jax.process_count()
+                if bsz_global % self.mesh.devices.size:
+                    raise ValueError(
+                        f"global batch {bsz_global} (= {bsz} per process"
+                        f" x {jax.process_count()} processes) must "
+                        f"divide the {self.mesh.devices.size}-device "
+                        "mesh under multi-process SPMD"
+                    )
+            adapted = mesh_lib.mesh_for_batch(bsz, self.mesh) \
+                if jax.process_count() == 1 else self.mesh
             if adapted.devices.size != self.mesh.devices.size:
                 print(
                     f"warning: batch size {bsz} not divisible by "
