@@ -115,9 +115,11 @@ def main():
         with contextlib.ExitStack() as st:
             if args.warp_mode == "half":
                 st.enter_context(dispatch.use_half_res_warp(True))
+            # forward --iters: the ledger divides by it, so a trace
+            # recorded with a different count would mis-scale every row
             profiler.trace_model(
                 args.capture, height=args.height, width=args.width,
-                trace_dir=args.trace_dir,
+                iters=args.iters, trace_dir=args.trace_dir,
             )
 
     paths = sorted(glob.glob(

@@ -399,12 +399,49 @@ def cmd_convert(args):
     return 0
 
 
+def parse_export_shapes(args):
+    """Validate/parse ``export --aot --shapes`` BEFORE the checkpoint
+    load, so usage errors are instant. Returns [(h, w, b), ...] or None.
+    """
+    if not getattr(args, "shapes", None):
+        return None
+    if args.data_parallel or args.spatial_tiles:
+        # the bundle path compiles single-chip entries only; dropping
+        # these silently would ship an artifact the user believes is
+        # sharded
+        raise SystemExit(
+            "--shapes bundles are single-chip; --data_parallel/"
+            "--spatial_tiles only apply to single-shape exports"
+        )
+    shapes = []
+    for spec in args.shapes.split(","):
+        parts = spec.lower().split("x")
+        usage = (
+            f"--shapes: malformed entry {spec!r}; expected "
+            "HxW or HxWxB with positive integers "
+            "(e.g. 448x1024,384x1280x4)"
+        )
+        if len(parts) not in (2, 3):
+            raise SystemExit(usage)
+        try:
+            dims = [int(p) for p in parts]
+        except ValueError:
+            raise SystemExit(usage) from None
+        if any(d <= 0 for d in dims):
+            raise SystemExit(usage)
+        h, w = dims[0], dims[1]
+        b = dims[2] if len(dims) == 3 else 1
+        shapes.append((h, w, b))
+    return shapes
+
+
 def cmd_export(args):
     """Orbax run dir -> portable .npz weights, or --aot .flowpak."""
     import numpy as np
 
     from flownet2_tf_tpu.training import warmstart
 
+    shapes = parse_export_shapes(args) if getattr(args, "aot", False) else None
     tree = warmstart.load_params_tree(args.ckpt)
     if getattr(args, "aot", False):
         from flownet2_tf_tpu.tools import aot
@@ -412,18 +449,7 @@ def cmd_export(args):
         platforms = (
             args.platforms.split(",") if args.platforms else None
         )
-        if getattr(args, "shapes", None):
-            shapes = []
-            for spec in args.shapes.split(","):
-                parts = spec.lower().split("x")
-                if len(parts) not in (2, 3):
-                    raise SystemExit(
-                        f"--shapes: malformed entry {spec!r}; expected "
-                        "HxW or HxWxB (e.g. 448x1024,384x1280x4)"
-                    )
-                h, w = int(parts[0]), int(parts[1])
-                b = int(parts[2]) if len(parts) == 3 else 1
-                shapes.append((h, w, b))
+        if shapes is not None:
             meta = aot.export_serving_bundle(
                 args.model, tree, shapes, args.out,
                 compute_dtype=args.compute_dtype,
@@ -651,9 +677,11 @@ def build_parser():
     p.add_argument("--trace_dir", default="/tmp/flownet2_trace")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
-    p.add_argument("--warp_mode", default="full", choices=["full", "half"],
-                   help="'half' profiles the serving preset "
-                        "(half-res stack warps)")
+    p.add_argument("--warp_mode", default=None, choices=["full", "half"],
+                   help="'half' profiles the serving preset (half-res "
+                        "stack warps); 'full' pins exact warps; default "
+                        "follows --warp_res / the env knobs (exact if "
+                        "unset)")
     p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("convert", help="TF1 checkpoint -> .npz")

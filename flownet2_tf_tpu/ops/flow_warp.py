@@ -158,7 +158,16 @@ def half_res_warp_enabled() -> bool:
 # All four are the same sum-of-4-then-*0.25 up to float reassociation
 # (pinned by tests/test_ops_oracle.py::test_pool2_impls); the knob
 # stays for remeasurement on future XLA versions.
+_POOL2_VALID = ("reshape", "window", "slices", "conv")
 _POOL2_IMPL = _os.environ.get("FLOWNET2_TPU_POOL2", "reshape")
+if _POOL2_IMPL not in _POOL2_VALID:
+    # Fail at import, not silently fall through to "reshape": the knob
+    # exists to produce labeled A/B timings, and a typo'd value that
+    # quietly measures the default corrupts exactly that data.
+    raise ValueError(
+        f"FLOWNET2_TPU_POOL2 must be one of {_POOL2_VALID}, "
+        f"got {_POOL2_IMPL!r}"
+    )
 
 
 def _pool2(x):

@@ -190,12 +190,6 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
     one artifact (approximation decays with ``spatial_overlap``;
     docs/DESIGN.md seam table).
     """
-    import jax
-    from jax import export as jexport
-
-    from flownet2_tf_tpu.ops import dispatch
-    from flownet2_tf_tpu.training import warmstart
-
     if height % 64 or width % 64:
         raise ValueError(
             f"serving export shapes must be multiples of 64 (six stride-2 "
@@ -421,11 +415,14 @@ class BundleServingModel:
         return sorted(self._models)
 
     def __call__(self, image_a, image_b):
-        a = np.asarray(image_a, np.float32)
-        key = (a.shape[0], a.shape[1], a.shape[2]) if a.ndim == 4 else None
+        # np.shape: dispatch needs only the shape — converting the whole
+        # batch to float32 here would add a full-array copy per serving
+        # call on top of ServingModel's own conversion
+        shape = np.shape(image_a)
+        key = (shape[0], shape[1], shape[2]) if len(shape) == 4 else None
         if key not in self._models:
             raise ValueError(
-                f"no bundle entry for inputs {a.shape}; available "
+                f"no bundle entry for inputs {shape}; available "
                 f"(batch, height, width): {self.shapes}"
             )
         return self._models[key](image_a, image_b)

@@ -49,12 +49,25 @@ def run_bench(model="2", height=448, width=1024, batch=1, iters=16,
 
     enable_compilation_cache()
     if warp_mode is None:
-        # headline = the serving preset: bf16, pre-cast params, HALF-RES
-        # stack warps (measured trade on trained weights: +0.006 px AEE
-        # for 1.55x — docs/DESIGN.md "Half-resolution stack warps").
-        # FLOWNET2_TPU_BENCH_FULLRES=1 opts back into exact warps.
-        full = os.environ.get("FLOWNET2_TPU_BENCH_FULLRES", "0") == "1"
-        warp_mode = "full" if (full or compute_dtype != "bfloat16") else "half"
+        if (os.environ.get("FLOWNET2_TPU_WARP_RES")
+                or os.environ.get("FLOWNET2_TPU_HALF_RES_WARP", "0") == "1"):
+            # The user set an explicit warp-res knob (`cli bench
+            # --warp_res K` plumbs through these env vars): honor it
+            # instead of the serving preset — the preset's thread-local
+            # override would silently outrank the env and mislabel the
+            # measurement.
+            from flownet2_tf_tpu.ops.flow_warp import stack_warp_res
+
+            warp_mode = f"k{stack_warp_res()}"
+        else:
+            # headline = the serving preset: bf16, pre-cast params,
+            # HALF-RES stack warps (measured trade on trained weights:
+            # +0.006 px AEE for 1.55x — docs/DESIGN.md "Half-resolution
+            # stack warps"). FLOWNET2_TPU_BENCH_FULLRES=1 opts back
+            # into exact warps.
+            full = os.environ.get("FLOWNET2_TPU_BENCH_FULLRES", "0") == "1"
+            warp_mode = ("full" if (full or compute_dtype != "bfloat16")
+                         else "half")
 
     # `with` (not an ExitStack closed at the end): an exception
     # mid-measurement must not leak the thread-local half-res-warp
@@ -62,6 +75,10 @@ def run_bench(model="2", height=448, width=1024, batch=1, iters=16,
     with contextlib.ExitStack() as stack:
         if warp_mode == "half":
             stack.enter_context(dispatch.use_half_res_warp(True))
+        elif warp_mode == "full":
+            # pin exact warps even if a warp-res env var is set, so the
+            # "full" label always means what it says
+            stack.enter_context(dispatch.use_warp_res(1))
         return _measure(model, height, width, batch, iters, compute_dtype,
                         repeats, warp_mode)
 

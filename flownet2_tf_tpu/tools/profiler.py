@@ -106,11 +106,14 @@ def latest_xplane(trace_dir):
 
 def trace_model(model_name="2", height=448, width=1024, batch=1, iters=3,
                 compute_dtype="bfloat16", trace_dir="/tmp/flownet2_trace",
-                warp_mode="full"):
+                warp_mode=None):
     """Run + trace N forwards; returns the trace directory.
 
     ``warp_mode="half"`` profiles the serving preset (half-res stack
-    warps, docs/DESIGN.md) instead of the exact-warp path."""
+    warps, docs/DESIGN.md); ``"full"`` pins exact warps; ``None``
+    (default) follows the ``FLOWNET2_TPU_WARP_RES`` /
+    ``FLOWNET2_TPU_HALF_RES_WARP`` env knobs (so ``cli profile
+    --warp_res K`` is not silently outranked)."""
     import contextlib
 
     from flownet2_tf_tpu.ops import dispatch
@@ -120,6 +123,8 @@ def trace_model(model_name="2", height=448, width=1024, batch=1, iters=3,
     with contextlib.ExitStack() as stack:
         if warp_mode == "half":
             stack.enter_context(dispatch.use_half_res_warp(True))
+        elif warp_mode == "full":
+            stack.enter_context(dispatch.use_warp_res(1))
         return _trace_model_inner(
             model_name, height, width, batch, iters, compute_dtype,
             trace_dir,

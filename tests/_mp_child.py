@@ -18,18 +18,25 @@ import json
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_cpu_collectives_implementation", "gloo")
+import jax
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np  # noqa: E402
+
+def _configure_child():
+    """2-virtual-device CPU + Gloo config for THIS process.
+
+    Called only under ``__main__``: the parent pytest process imports
+    this module for ``run_steps``/``global_batch``, and module-level
+    env/config mutation would overwrite its conftest 8-device XLA_FLAGS
+    and global jax config for every later test. Env vars are read at
+    backend init, which main() triggers after this runs."""
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
 
 def global_batch(n=4, h=64, w=64, seed=123):
@@ -103,4 +110,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _configure_child()
     main()

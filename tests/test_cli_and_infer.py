@@ -521,3 +521,32 @@ def test_cli_eval_save_outputs(tmp_path, capsys):
     np.testing.assert_allclose(
         flowlib.read_flow(out_b / "000000_flow.flo"), flow0, atol=1e-4
     )
+
+
+def test_export_shapes_parsing():
+    """``export --aot --shapes`` validation: positive-int dims only,
+    friendly usage errors, and an explicit rejection of the sharding
+    flags the single-chip bundle path cannot honor (r3 review)."""
+    import types
+
+    from flownet2_tf_tpu.cli import parse_export_shapes
+
+    def args(shapes, dp=0, sp=0):
+        return types.SimpleNamespace(
+            shapes=shapes, data_parallel=dp, spatial_tiles=sp
+        )
+
+    assert parse_export_shapes(args(None)) is None
+    assert parse_export_shapes(args("448x1024,384x1280x4")) == [
+        (448, 1024, 1), (384, 1280, 4)
+    ]
+    for bad in ("0x64", "448x1024x0", "448x", "-64x64", "448x1024x-1",
+                "axb", "448"):
+        with pytest.raises(SystemExit, match="--shapes"):
+            parse_export_shapes(args(bad))
+    # silently dropping --data_parallel/--spatial_tiles would ship an
+    # artifact the user believes is sharded
+    with pytest.raises(SystemExit, match="single-chip"):
+        parse_export_shapes(args("448x1024", dp=4))
+    with pytest.raises(SystemExit, match="single-chip"):
+        parse_export_shapes(args("448x1024", sp=2))

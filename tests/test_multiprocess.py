@@ -59,15 +59,25 @@ def test_two_process_dp_train_step_matches_single_process():
 
     results = {}
     logs = {}
-    for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=540)
-        logs[pid] = out
-        assert p.returncode == 0, (
-            f"child {pid} failed (rc={p.returncode}):\n{out[-3000:]}"
-        )
-        line = [ln for ln in out.splitlines() if ln.startswith("MPRESULT ")]
-        assert line, out[-2000:]
-        results[pid] = json.loads(line[-1][len("MPRESULT "):])
+    try:
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=540)
+            logs[pid] = out
+            assert p.returncode == 0, (
+                f"child {pid} failed (rc={p.returncode}):\n{out[-3000:]}"
+            )
+            line = [
+                ln for ln in out.splitlines() if ln.startswith("MPRESULT ")
+            ]
+            assert line, out[-2000:]
+            results[pid] = json.loads(line[-1][len("MPRESULT "):])
+    finally:
+        # a hung child (e.g. coordinator handshake never completing)
+        # must not outlive the test holding its port and a core
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
 
     # both processes saw the identical replicated result
     for key in ("loss0", "loss1", "epe1", "psum"):

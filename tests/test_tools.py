@@ -103,3 +103,33 @@ def test_cli_bench_on_cpu(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["unit"] == "frame_pairs/sec/chip"
     assert out["value"] > 0
+
+
+def test_bench_warp_mode_honors_env_knobs(monkeypatch):
+    """`cli bench --warp_res K` plumbs through FLOWNET2_TPU_WARP_RES;
+    run_bench must honor it instead of silently entering the serving
+    preset's thread-local half-res override (r3 review #1)."""
+    from flownet2_tf_tpu.ops.flow_warp import stack_warp_res
+    from flownet2_tf_tpu.tools import bench
+
+    seen = {}
+
+    def fake_measure(model, h, w, b, iters, cd, repeats, warp_mode):
+        seen["warp_mode"] = warp_mode
+        seen["k"] = stack_warp_res()
+        return {"value": 1.0}
+
+    monkeypatch.setattr(bench, "_measure", fake_measure)
+
+    monkeypatch.setenv("FLOWNET2_TPU_WARP_RES", "4")
+    bench.run_bench()
+    assert seen == {"warp_mode": "k4", "k": 4}
+
+    # explicit "full" pins exact warps even with the env var set
+    bench.run_bench(warp_mode="full")
+    assert seen == {"warp_mode": "full", "k": 1}
+
+    # default preset without env knobs: half-res serving warps
+    monkeypatch.delenv("FLOWNET2_TPU_WARP_RES")
+    bench.run_bench()
+    assert seen == {"warp_mode": "half", "k": 2}
