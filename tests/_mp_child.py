@@ -49,10 +49,16 @@ def global_batch(n=4, h=64, w=64, seed=123):
     }
 
 
-def run_steps(local_batch, mesh=None):
+def run_steps(local_batch, mesh=None, ckpt_dir=None):
     """Two DP train steps on the given (process-local) batch; returns
     the printed metrics dict. Shared with the parent's single-process
-    reference run (where local == global and process_count == 1)."""
+    reference run (where local == global and process_count == 1).
+
+    ``ckpt_dir``: when set, additionally exercises the MULTI-PROCESS
+    checkpoint path — orbax save with every process participating
+    (process 0 writes, the rest join the barriers), then
+    ``restore_or_init`` auto-resume — and reports the restored step +
+    param checksum for the parent to compare."""
     import jax.numpy as jnp
 
     from flownet2_tf_tpu.parallel import mesh as mesh_lib
@@ -72,6 +78,7 @@ def run_steps(local_batch, mesh=None):
         augment=False,
         compute_dtype="float32",
         tensorboard=False,
+        **({"log_dir": ckpt_dir} if ckpt_dir else {}),
     )
     trainer = Trainer(cfg, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -91,6 +98,15 @@ def run_steps(local_batch, mesh=None):
     out["psum"] = float(
         jax.device_get(sum(jnp.abs(p).sum() for p in leaves))
     )
+    if ckpt_dir:
+        trainer.save(state, wait=True)
+        restored, resumed = trainer.restore_or_init()
+        assert resumed, "latest_step found nothing after a waited save"
+        out["ckpt_step"] = int(jax.device_get(restored["step"]))
+        rl = jax.tree_util.tree_leaves(restored["params"])
+        out["ckpt_psum"] = float(
+            jax.device_get(sum(jnp.abs(p).sum() for p in rl))
+        )
     return out
 
 
@@ -104,7 +120,7 @@ def main():
     g = global_batch()
     pid = jax.process_index()
     local = {k: v[pid * 2 : (pid + 1) * 2] for k, v in g.items()}
-    out = run_steps(local)
+    out = run_steps(local, ckpt_dir=os.environ.get("FLOWNET2_MP_CKPT_DIR"))
     out["process_index"] = pid
     print("MPRESULT " + json.dumps(out), flush=True)
 

@@ -33,9 +33,10 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_dp_train_step_matches_single_process():
+def test_two_process_dp_train_step_matches_single_process(tmp_path):
     # bounded by the subprocess communicate(timeout=540) below
     port = _free_port()
+    ckpt_dir = str(tmp_path / "mp_ckpt")
     procs = []
     for pid in range(2):
         env = dict(
@@ -43,6 +44,9 @@ def test_two_process_dp_train_step_matches_single_process():
             COORDINATOR_ADDRESS=f"localhost:{port}",
             NUM_PROCESSES="2",
             PROCESS_ID=str(pid),
+            # also exercise the multi-process orbax save/auto-resume
+            # path (all processes participate; process 0 writes)
+            FLOWNET2_MP_CKPT_DIR=ckpt_dir,
         )
         # drop any ambient sitecustomize that re-asserts another
         # platform; the child pins CPU itself
@@ -84,6 +88,15 @@ def test_two_process_dp_train_step_matches_single_process():
         np.testing.assert_allclose(
             results[0][key], results[1][key], rtol=0, atol=0,
             err_msg=f"{key} diverged across processes",
+        )
+
+    # multi-process checkpointing: the waited save restored on BOTH
+    # processes at the trained step with bit-identical params
+    for pid in (0, 1):
+        assert results[pid]["ckpt_step"] == 2, results[pid]
+        np.testing.assert_allclose(
+            results[pid]["ckpt_psum"], results[pid]["psum"], rtol=0,
+            atol=0, err_msg="restored params differ from saved params",
         )
 
     # and it matches the single-process 4-device run of the SAME global
