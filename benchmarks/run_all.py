@@ -3,7 +3,8 @@ throughput. Merges its rows into benchmarks/results.json and prints a
 table. The specialized sweeps write their own rows there too:
 serving_batch_sweep.py (serving preset), halfres_warp_ab.py (accuracy
 trade), memory_bench.py (remat/grad_accum HBM), input_pipeline.py,
-spatial_seam.py, aot_serving_bench.py.
+spatial_seam.py, aot_serving_bench.py, f32_precision_probe.py,
+input_dtype_ab.py.
 
 Usage: python benchmarks/run_all.py [--quick]
 """
