@@ -115,6 +115,8 @@ def main():
         with contextlib.ExitStack() as st:
             if args.warp_mode == "half":
                 st.enter_context(dispatch.use_half_res_warp(True))
+            else:  # 'full': pin exact warps against ambient env knobs
+                st.enter_context(dispatch.use_warp_res(1))
             # forward --iters: the ledger divides by it, so a trace
             # recorded with a different count would mis-scale every row
             profiler.trace_model(

@@ -127,7 +127,10 @@ def stack_warp_res() -> int:
         return 2 if override else 1
     env_k = _os.environ.get("FLOWNET2_TPU_WARP_RES", "")
     if env_k:
-        k = int(env_k)
+        try:
+            k = int(env_k)
+        except ValueError:
+            k = None  # non-numeric ('half', ...) -> the friendly message
         if k not in dispatch._WARP_RES_VALID:
             raise ValueError(
                 f"FLOWNET2_TPU_WARP_RES must be one of "

@@ -144,7 +144,13 @@ def _export_one(model_name, params, height, width, batch, compute_dtype,
             stack.enter_context(dispatch.use_half_res_warp(True))
         elif warp_mode == "quarter":
             stack.enter_context(dispatch.use_warp_res(4))
-        elif warp_mode != "full":
+        elif warp_mode == "full":
+            # Pin exact warps explicitly: without this an ambient
+            # FLOWNET2_TPU_WARP_RES env var would silently bake coarse
+            # warps into a durable artifact whose metadata says 'full'
+            # (ADVICE r3). bench/profiler pin the same way.
+            stack.enter_context(dispatch.use_warp_res(1))
+        else:
             raise ValueError(
                 f"warp_mode must be 'half', 'quarter' or 'full': "
                 f"{warp_mode!r}")

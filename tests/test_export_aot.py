@@ -66,6 +66,30 @@ def test_half_res_warp_baked_at_export(tmp_path):
     assert np.abs(got - ref_full).max() > 1e-4
 
 
+def test_full_export_pins_exact_warps_against_env(tmp_path, monkeypatch):
+    """warp_mode='full' must bake EXACT warps even when an ambient
+    FLOWNET2_TPU_WARP_RES env knob is set — the durable artifact's
+    metadata says 'full', so coarse warps leaking in via the env would
+    be a silent mislabel (ADVICE r3; mirrors
+    test_bench_warp_mode_honors_env_knobs for the export path)."""
+    from flownet2_tf_tpu.training.infer import infer_flow
+
+    params = get_model("cs").init(jax.random.PRNGKey(2))
+    monkeypatch.setenv("FLOWNET2_TPU_WARP_RES", "4")
+    path = tmp_path / "cs_full.flowpak"
+    aot.export_serving("cs", params, 64, 64, path,
+                       compute_dtype="float32", warp_mode="full")
+    monkeypatch.delenv("FLOWNET2_TPU_WARP_RES")
+    sm = aot.load_serving(path)
+    rng = np.random.RandomState(6)
+    a = rng.rand(1, 64, 64, 3).astype(np.float32)
+    b = rng.rand(1, 64, 64, 3).astype(np.float32)
+    got = sm(a, b)
+    ref_full = np.asarray(infer_flow("cs", params, a, b,
+                                     compute_dtype="float32"))
+    np.testing.assert_allclose(got, ref_full, atol=1e-5)
+
+
 def test_data_parallel_export_matches_single_device(tmp_path, s_params):
     """A data_parallel=8 artifact (params replicated, batch split over
     the ('data',) mesh) returns the same flows as the unsharded path —

@@ -20,6 +20,11 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+# ~200 s of 2-process Gloo training: opt-in via RUN_SLOW=1, per the
+# repo convention for long training smokes (ADVICE r3).
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = os.path.join(REPO, "tests", "_mp_child.py")

@@ -561,6 +561,26 @@ def test_warp_res_resolution_order():
             pass
 
 
+def test_warp_res_env_parse_errors_are_friendly(monkeypatch):
+    """A non-numeric FLOWNET2_TPU_WARP_RES ('half', ...) must raise the
+    knob's must-be-one-of message, not a bare int() ValueError — it can
+    surface deep inside a jit trace via trace_signature() (ADVICE r3)."""
+    import importlib
+    fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
+    import pytest
+
+    for bad in ("half", "2.0", ""):
+        monkeypatch.setenv("FLOWNET2_TPU_WARP_RES", bad)
+        if bad == "":
+            assert fw.stack_warp_res() == 1  # empty = unset
+        else:
+            with pytest.raises(ValueError, match="must be one of"):
+                fw.stack_warp_res()
+    monkeypatch.setenv("FLOWNET2_TPU_WARP_RES", "3")
+    with pytest.raises(ValueError, match="must be one of"):
+        fw.stack_warp_res()
+
+
 def test_s2d_encode_upsample2x_matches_resize_fold(rng):
     from flownet2_tf_tpu.models import common
     from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
