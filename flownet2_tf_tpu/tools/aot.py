@@ -31,6 +31,7 @@ import contextlib
 import io
 import json
 import os
+import warnings
 import zipfile
 
 import numpy as np
@@ -381,6 +382,13 @@ class ServingModel:
         the artifact resolution — inputs are edge-padded up on the host
         and the flow cropped back (the %64 policy the eval path uses).
         Larger inputs need a larger artifact and error out.
+
+        On a batch>1 artifact the pair is broadcast to the full batch —
+        the StableHLO is shape-specialized, so a single pair costs
+        batch-1 redundant forwards. That is fine for a DP-sharded
+        artifact (the redundancy rides idle chips) but an 8x hidden
+        cost on a single-chip b8 one, so the first such call warns
+        (r3 review); batch callers should use ``__call__`` directly.
         """
         a = np.asarray(image_a, np.float32)
         b = np.asarray(image_b, np.float32)
@@ -398,6 +406,19 @@ class ServingModel:
         a = np.pad(a, pad, mode="edge")
         b = np.pad(b, pad, mode="edge")
         if self.meta["batch"] != 1:
+            per_chip = self.meta["batch"] // max(
+                self.meta.get("data_parallel", 0), 1)
+            if per_chip > 1 and not getattr(
+                    self, "_warned_broadcast", False):
+                self._warned_broadcast = True
+                warnings.warn(
+                    f"infer_pair on a batch={self.meta['batch']} "
+                    f"artifact broadcasts the pair to the full batch "
+                    f"({self.meta['batch'] - 1} redundant forwards per "
+                    f"call); export a batch=1 artifact for single-pair "
+                    f"serving, or call the model with full batches.",
+                    stacklevel=2,
+                )
             a = np.broadcast_to(a, (self.meta["batch"],) + a.shape)
             b = np.broadcast_to(b, (self.meta["batch"],) + b.shape)
         else:

@@ -56,9 +56,24 @@ def pytest_collection_modifyitems(config, items):
     if config.getoption("-m"):
         return
     skip = pytest.mark.skip(reason="slow: set RUN_SLOW=1 (or -m slow)")
+    n_slow = 0
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+            n_slow += 1
+    config._flownet2_n_slow_skipped = n_slow
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Make the slow-test contract visible: a default run that skipped
+    the TF-interop parity proofs says so, so nobody believes they ran
+    them when they did not (README 'Tests' section states the same)."""
+    n = getattr(config, "_flownet2_n_slow_skipped", 0)
+    if n:
+        terminalreporter.write_line(
+            f"NOTE: {n} slow tests (TF-interop parity, long training "
+            "smokes) were skipped - set RUN_SLOW=1 to run them."
+        )
 
 
 @pytest.fixture

@@ -120,6 +120,35 @@ def test_data_parallel_export_matches_single_device(tmp_path, s_params):
                            batch=4, data_parallel=8)
 
 
+def test_infer_pair_broadcast_warns_once(monkeypatch):
+    """infer_pair on a batch>1 single-chip artifact silently cost
+    batch-1 redundant forwards per call (r3 review); it must warn on
+    first use. A DP artifact with batch == data_parallel rides idle
+    chips instead, so it stays silent."""
+    import warnings
+
+    monkeypatch.setattr(
+        aot.ServingModel, "__call__",
+        lambda self, a, b: np.zeros(a.shape[:3] + (2,), np.float32),
+    )
+    a = np.zeros((64, 64, 3), np.float32)
+
+    sm = aot.ServingModel(None, None,
+                          {"batch": 8, "height": 64, "width": 64})
+    with pytest.warns(UserWarning, match="7 redundant forwards"):
+        sm.infer_pair(a, a)
+    with warnings.catch_warnings():  # once per artifact, not per call
+        warnings.simplefilter("error")
+        sm.infer_pair(a, a)
+
+    sm_dp = aot.ServingModel.__new__(aot.ServingModel)
+    sm_dp.meta = {"batch": 8, "height": 64, "width": 64,
+                  "data_parallel": 8}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sm_dp.infer_pair(a, a)
+
+
 def test_load_rejects_unknown_format_version(tmp_path, s_params):
     import json as _json
     import zipfile

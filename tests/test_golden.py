@@ -147,7 +147,18 @@ def test_real_checkpoint_golden(tmp_path):
     """When a real (converted or TF1) reference checkpoint is present:
     run it on the sample pair, require the semantic canary to pass, and
     pin the output against a committed golden at <=1e-2 EPE. Skips
-    cleanly when no real checkpoint exists (the offline case)."""
+    cleanly when no real checkpoint exists (the offline case).
+
+    Pin-on-first-sight policy (r3 review): on the FIRST run with a real
+    checkpoint there is no golden yet, so the test (a) gates on
+    plausibility — a genuinely trained FlowNet lands in single-digit
+    AEE on the bundled chairs sample, so AEE < 10 px vs the sample GT
+    separates 'conversion is semantically right' from 'weights were
+    scrambled' with a wide margin — and (b) writes the golden ONLY when
+    FLOWNET2_PIN_GOLDEN=1 is set (a test must not mutate the source
+    tree as a side effect; set the env, run once, commit the golden).
+    Without the env it writes the candidate under the pytest tmp dir
+    and prints where, so the run is still actionable."""
     ckpts = _discover_real_checkpoints()
     if not ckpts:
         pytest.skip(
@@ -190,9 +201,9 @@ def test_real_checkpoint_golden(tmp_path):
                 f"for model {model}"
             )
         else:
-            # first appearance: sanity vs the bundled GT (a trained
-            # model lands in single-digit AEE on the chairs sample),
-            # then pin the golden for future runs
+            # first appearance: plausibility gate vs the bundled GT
+            # (policy in the docstring), then pin the golden — into the
+            # source tree only on explicit opt-in
             gt = flowlib.read_flow(os.path.join(SAMPLES, "0flow.flo"))
             aee = float(np.mean(np.sqrt(np.sum(
                 np.square(flow - gt), axis=-1))))
@@ -200,4 +211,13 @@ def test_real_checkpoint_golden(tmp_path):
                 f"real checkpoint predicts implausible flow (AEE {aee} "
                 f"px vs sample GT) — check conversion semantics"
             )
-            np.savez(golden_path, flow=flow)
+            if os.environ.get("FLOWNET2_PIN_GOLDEN") == "1":
+                np.savez(golden_path, flow=flow)
+            else:
+                cand = tmp_path / f"real_{model}_golden.npz"
+                np.savez(cand, flow=flow)
+                print(
+                    f"golden candidate for {model} written to {cand}; "
+                    "re-run with FLOWNET2_PIN_GOLDEN=1 to pin it under "
+                    "tests/golden/ and commit it"
+                )
