@@ -1,95 +1,125 @@
 """Categorized per-op device-time ledger from an xplane trace.
 
-Groups EVERY sync XLA op in the trace into buckets (convolution
-fusions, warp gathers, layout copies, reduces/pools, elementwise glue,
-...) and prints per-iteration totals — the accounting DESIGN.md's
-"remaining profile" paragraphs cite. Async ops (copy-start/done,
-slice-start/done) are reported separately: they are overlap windows,
-not costs (docs/DESIGN.md "Profile-reading lesson").
+r4: rebuilt on XLA's OWN per-op attribution stats — ``hlo_category``
+("convolution fusion", "loop fusion", "data formatting", ...),
+``source`` (repo file:line of the emitting Python), ``tf_op``, per-op
+``flops`` and ``bytes_accessed`` — parsed from the xplane by
+``tools/profiler.py::detailed_ops``. This replaces the r3 name-regex
+bucketing and gives the itemization VERDICT r3 asked for: every op is
+attributed to the repo source line that emitted it, so "the mixed
+6.7 ms bucket" decomposes into gathers vs lerp vs pack vs fold vs pool
+by construction.
+
+Async ops (copy-start/done, slice-start/done) are reported separately:
+they are overlap windows, not costs (docs/DESIGN.md "Profile-reading
+lesson").
 
 Usage:
-    python benchmarks/op_ledger.py [--trace_dir /tmp/flownet2_trace]
-        [--iters 3]
+    python benchmarks/op_ledger.py [--trace_dir DIR] [--iters 3]
+        [--batch 1] [--top 25] [--json_out]
 
 With --capture MODEL it first records a fresh trace (requires the TPU):
-    python benchmarks/op_ledger.py --capture 2 --warp_mode half
+    python benchmarks/op_ledger.py --capture 2 --warp_mode half \
+        --batch 8 --json_out
 """
 
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
-import re
 import sys
 from collections import defaultdict
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-
-def categorize(name: str) -> str:
-    """Bucket an HLO op by its name + operand text."""
-    head = name.split(" = ", 1)[0].lstrip("%")
-    body = name.split(" = ", 1)[1] if " = " in name else ""
-    base = re.sub(r"\.\d+$", "", head)
-    if base.endswith(("copy", "copy-done", "transpose")):
-        return "layout copy / transpose"
-    if base in ("pad", "slice", "concatenate", "reshape", "bitcast",
-                "reverse", "dynamic-slice", "dynamic-update-slice"):
-        return "reshape / slice / concat"
-    if base == "reduce":
-        return "reduce / pool"
-    if "convolution" in body or "conv" in base:
-        return "convolution"
-    if "gather" in body or "gather" in base:
-        return "warp gather"
-    if "fusion" in base:
-        # Fusions carry their root op in the operand text when the
-        # profiler kept it; classify by strongest signal present.
-        if "convolution(" in body:
-            return "convolution"
-        if "gather(" in body:
-            return "warp gather"
-        if "dot(" in body:
-            return "matmul / dot"
-        if "reduce(" in body:
-            return "reduce / pool"
-        # Heuristics by operand shapes: a fusion consuming a small
-        # HWIO-looking weight alongside a big activation is a conv
-        # fusion XLA renamed (select/compare fusions around convs).
-        if re.search(r"\[\d,\d,\d+,\d+\]", body) and (
-            "compare_select" in head or "select_bitcast" in head
-            or "broadcast_select" in head
-        ):
-            return "convolution (select-fused)"
-        return "fusion (other)"
-    if base in ("dot",):
-        return "matmul / dot"
-    if base.startswith(("all-reduce", "all-gather", "collective")):
-        return "collective"
-    return "other"
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def ledger(xplane_path: str, iters: int, top_names: int = 8):
+def _short_src(source):
+    """Strip the benchmark-relative prefix XLA records:
+    '/root/repo/benchmarks/../flownet2_tf_tpu/x.py:10' -> 'x.py:10'."""
+    if not source:
+        return "(xla-internal)"
+    src = os.path.normpath(source.split(":", 1)[0])
+    line = source.rsplit(":", 1)[-1] if ":" in source else ""
+    rel = os.path.relpath(src, _REPO)
+    return f"{rel}:{line}" if line else rel
+
+
+def ledger(xplane_path: str, iters: int, batch: int = 1):
+    """Aggregate the trace's sync XLA ops. Returns a JSON-able dict:
+
+    - ``by_category``: ms/iter per XLA hlo_category
+    - ``by_file``: ms/iter per repo source file (+ (xla-internal))
+    - ``top_sources``: largest (source_line, category) cells
+    - ``top_ops``: largest individual (deduplicated) ops
+    - ``conv_ms`` / ``non_conv_ms``: the headline split
+    - ``flops`` / ``bytes_accessed``: XLA's analytic totals per iter
+    - ``async_ms``: the overlap-window total (NOT a cost)
+    """
     from flownet2_tf_tpu.tools import profiler
 
-    summ = profiler.summarize_xplane(xplane_path, top=100000)
-    out = {}
-    for plane, lines in summ.items():
-        for line, ops in lines.items():
-            if "XLA Ops" not in line or "Async" in line:
-                continue
-            cats = defaultdict(float)
-            examples = defaultdict(list)
-            total = 0.0
-            for ms, cnt, name in ops:
-                cat = categorize(name)
-                cats[cat] += ms / iters
-                total += ms / iters
-                examples[cat].append((ms / iters, name[:110]))
-            out[f"{plane} / {line}"] = (total, cats, examples)
-    return out
+    detail = profiler.detailed_ops(xplane_path, line_filter="XLA Ops")
+    sync_ops, async_ms = [], 0.0
+    for plane, lines in detail.items():
+        for lname, ops in lines.items():
+            if "Async" in lname:
+                async_ms += sum(o["ms"] for o in ops) / iters
+            else:
+                sync_ops.extend(ops)
+    if not sync_ops:
+        raise SystemExit(f"no sync XLA ops found in {xplane_path}")
+
+    by_cat = defaultdict(float)
+    by_file = defaultdict(float)
+    by_src = defaultdict(float)
+    total = flops = nbytes = 0.0
+    for o in sync_ops:
+        ms = o["ms"] / iters
+        total += ms
+        cat = o["category"] or "(uncategorized)"
+        by_cat[cat] += ms
+        src = _short_src(o["source"])
+        by_file[src.split(":")[0]] += ms
+        by_src[(src, cat)] += ms
+        flops += o["flops"] / iters
+        nbytes += o["bytes"] / iters
+
+    conv_ms = sum(ms for c, ms in by_cat.items() if "convolution" in c)
+    top_sources = sorted(by_src.items(), key=lambda kv: -kv[1])
+    top_ops = sorted(sync_ops, key=lambda o: -o["ms"])
+    return {
+        "total_ms_per_iter": round(total, 3),
+        "ms_per_pair": round(total / batch, 3),
+        "conv_ms": round(conv_ms, 3),
+        "non_conv_ms": round(total - conv_ms, 3),
+        "tflops_per_iter": round(flops / 1e12, 4),
+        "gbytes_accessed_per_iter": round(nbytes / 1e9, 3),
+        "async_overlap_ms": round(async_ms, 3),
+        "by_category": {
+            c: round(ms, 3)
+            for c, ms in sorted(by_cat.items(), key=lambda kv: -kv[1])
+        },
+        "by_file": {
+            f: round(ms, 3)
+            for f, ms in sorted(by_file.items(), key=lambda kv: -kv[1])
+        },
+        "top_sources": [
+            {"source": s, "category": c, "ms": round(ms, 3)}
+            for (s, c), ms in top_sources[:40]
+        ],
+        "top_ops": [
+            {
+                "ms": round(o["ms"] / iters, 3),
+                "count": o["count"] // iters,
+                "category": o["category"],
+                "source": _short_src(o["source"]),
+                "name": (o["name"] or "")[:100],
+            }
+            for o in top_ops[:25]
+        ],
+    }
 
 
 def main():
@@ -103,8 +133,12 @@ def main():
                     choices=["half", "full"])
     ap.add_argument("--height", type=int, default=448)
     ap.add_argument("--width", type=int, default=1024)
-    ap.add_argument("--examples", type=int, default=0,
-                    help="print N largest ops per category")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--top", type=int, default=25,
+                    help="print N largest source cells")
+    ap.add_argument("--json_out", action="store_true",
+                    help="merge the row into benchmarks/results.json "
+                         "under op_ledger.b{batch}")
     args = ap.parse_args()
 
     if args.capture:
@@ -121,28 +155,49 @@ def main():
             # recorded with a different count would mis-scale every row
             profiler.trace_model(
                 args.capture, height=args.height, width=args.width,
-                iters=args.iters, trace_dir=args.trace_dir,
+                batch=args.batch, iters=args.iters,
+                trace_dir=args.trace_dir,
             )
 
-    paths = sorted(glob.glob(
-        os.path.join(args.trace_dir, "**", "*.xplane.pb"), recursive=True
-    ))
-    if not paths:
-        raise SystemExit(f"no .xplane.pb under {args.trace_dir}")
-    res = ledger(paths[-1], args.iters)
-    for key, (total, cats, examples) in res.items():
-        print(f"== {key}: {total:.2f} ms/iter sync total")
-        for cat, ms in sorted(cats.items(), key=lambda kv: -kv[1]):
-            print(f"  {ms:7.2f} ms  {cat}")
-            if args.examples:
-                for ems, name in sorted(examples[cat], reverse=True)[
-                    : args.examples
-                ]:
-                    print(f"            {ems:6.2f}  {name}")
-        print(json.dumps(
-            {"total_ms_per_iter": round(total, 3),
-             "by_category": {k: round(v, 3) for k, v in cats.items()}}
-        ))
+    from flownet2_tf_tpu.tools.profiler import latest_xplane
+
+    row = ledger(latest_xplane(args.trace_dir), args.iters, args.batch)
+    print(f"== sync total {row['total_ms_per_iter']:.2f} ms/iter "
+          f"({row['ms_per_pair']:.3f} ms/pair at b{args.batch}); "
+          f"conv {row['conv_ms']:.2f} / non-conv {row['non_conv_ms']:.2f}")
+    print("-- by hlo_category:")
+    for c, ms in row["by_category"].items():
+        print(f"   {ms:7.2f}  {c}")
+    print("-- by source file:")
+    for f, ms in row["by_file"].items():
+        print(f"   {ms:7.2f}  {f}")
+    print(f"-- top {args.top} source cells:")
+    for cell in row["top_sources"][: args.top]:
+        print(f"   {cell['ms']:7.2f}  {cell['category']:<24}"
+              f" {cell['source']}")
+
+    if args.json_out:
+        row["config"] = {
+            "model": args.capture or "2", "height": args.height,
+            "width": args.width, "batch": args.batch,
+            "warp_mode": args.warp_mode, "iters": args.iters,
+        }
+        out_path = os.path.join(os.path.dirname(__file__), "results.json")
+        try:
+            with open(out_path) as f:
+                merged = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            merged = {}
+        merged.setdefault("op_ledger", {})[f"b{args.batch}"] = row
+        with open(out_path, "w") as f:
+            json.dump(merged, f, indent=2, default=str)
+        print(f"merged op_ledger.b{args.batch} into {out_path}")
+    else:
+        print(json.dumps({
+            k: row[k] for k in
+            ("total_ms_per_iter", "ms_per_pair", "conv_ms",
+             "non_conv_ms", "by_category")
+        }))
 
 
 if __name__ == "__main__":

@@ -93,6 +93,139 @@ def summarize_xplane(xplane_path, plane_filter="TPU", top=25):
     return result
 
 
+def _xstat(buf, stat_names):
+    """Parse one XStat: (name, value). Value field by wire format:
+    2=double, 3=uint64, 4=int64, 5=str, 6=bytes, 7=ref into
+    stat_metadata (a string table)."""
+    import struct
+
+    mid = None
+    val = None
+    for f, v, w in _fields(buf):
+        if f == 1 and w == 0:
+            mid = v
+        elif f == 2 and w == 1:
+            val = struct.unpack("<d", v)[0]
+        elif f in (3, 4) and w == 0:
+            val = v
+        elif f in (5, 6) and w == 2:
+            val = v.decode("utf-8", "replace")
+        elif f == 7 and w == 0:
+            val = stat_names.get(v, str(v))
+    return stat_names.get(mid, str(mid)), val
+
+
+def detailed_ops(xplane_path, plane_filter="TPU", line_filter="XLA Ops"):
+    """Per-op records with XLA's OWN attribution stats from the xplane.
+
+    The profiler embeds, per HLO op: ``hlo_category`` (XLA's bucket:
+    "convolution fusion", "loop fusion", "data formatting", ...),
+    ``source`` (repo file:line of the emitting Python), ``tf_op`` (the
+    jaxpr path, e.g. ``jit(fwd)/conv_general_dilated``), ``flops`` and
+    ``bytes_accessed`` — the ground truth the op ledger aggregates
+    (benchmarks/op_ledger.py), replacing name-regex guessing.
+
+    Returns {line_name: [{"name", "ms", "count", "category", "source",
+    "tf_op", "flops", "bytes"} ...]} for matching planes/lines, summed
+    over occurrences (ms across all trace iterations).
+    """
+    with open(xplane_path, "rb") as f:
+        raw = f.read()
+    result = {}
+    for f_no, v, _ in _fields(raw):
+        if f_no != 1:  # XSpace.planes
+            continue
+        name = None
+        lines = []
+        meta_raw = {}
+        stat_names = {}
+        for pf, pv, pw in _fields(v):
+            if pf == 2 and pw == 2:
+                name = pv.decode("utf-8", "replace")
+            elif pf == 3 and pw == 2:
+                lines.append(pv)
+            elif pf == 4 and pw == 2:  # event_metadata map entry
+                k = meta = None
+                for mf, mv, _w in _fields(pv):
+                    if mf == 1:
+                        k = mv
+                    elif mf == 2:
+                        meta = mv
+                if meta is not None:
+                    meta_raw[k] = meta
+            elif pf == 5 and pw == 2:  # stat_metadata map entry
+                k = nm = None
+                for mf, mv, _w in _fields(pv):
+                    if mf == 1:
+                        k = mv
+                    elif mf == 2:
+                        for sf, sv, sw in _fields(mv):
+                            if sf == 2 and sw == 2:
+                                nm = sv.decode("utf-8", "replace")
+                if k is not None:
+                    stat_names[k] = nm
+        if name is None or plane_filter not in name:
+            continue
+        # decode event metadata now that stat names are known
+        emeta = {}
+        for k, meta in meta_raw.items():
+            rec = {"name": None, "category": None, "source": None,
+                   "tf_op": None, "flops": 0, "bytes": 0}
+            for ef, ev, ew in _fields(meta):
+                if ef == 2 and ew == 2:
+                    rec["name"] = ev.decode("utf-8", "replace")
+                elif ef == 5 and ew == 2:  # XEventMetadata.stats
+                    sname, sval = _xstat(ev, stat_names)
+                    if sname == "hlo_category":
+                        rec["category"] = sval
+                    elif sname == "source":
+                        rec["source"] = sval
+                    elif sname == "tf_op":
+                        rec["tf_op"] = sval
+                    elif sname == "flops":
+                        rec["flops"] = int(sval or 0)
+                    elif sname == "bytes_accessed":
+                        rec["bytes"] = int(sval or 0)
+            emeta[k] = rec
+        plane_out = {}
+        for line in lines:
+            lname = "?"
+            events = []
+            for lf, lv, lw in _fields(line):
+                if lf == 2 and lw == 2:
+                    lname = lv.decode("utf-8", "replace")
+                elif lf == 4 and lw == 2:
+                    events.append(lv)
+            if line_filter not in lname:
+                continue
+            per_op = {}
+            for ev in events:
+                mid = dur = None
+                for ef, ev2, ew in _fields(ev):
+                    if ef == 1 and ew == 0:
+                        mid = ev2
+                    elif ef == 3 and ew == 0:
+                        dur = ev2
+                if mid is None or not dur:
+                    continue
+                rec = per_op.get(mid)
+                if rec is None:
+                    base = emeta.get(mid) or {
+                        "name": str(mid), "category": None,
+                        "source": None, "tf_op": None,
+                        "flops": 0, "bytes": 0,
+                    }
+                    rec = per_op[mid] = dict(base, ms=0.0, count=0)
+                rec["ms"] += dur / 1e9  # ps -> ms
+                rec["count"] += 1
+            if per_op:
+                plane_out[lname] = sorted(
+                    per_op.values(), key=lambda r: -r["ms"]
+                )
+        result[name] = plane_out
+    return result
+
+
 def latest_xplane(trace_dir):
     paths = sorted(
         glob.glob(
