@@ -96,6 +96,9 @@ def main():
     ap.add_argument("--time", action="store_true",
                     help="also run + time each variant (marginal ms)")
     ap.add_argument("--models", default="css,2")
+    ap.add_argument("--big", action="store_true",
+                    help="also measure 448x1024 b8 and 320x448 b32 "
+                         "(the regimes where remat/grad_accum matter)")
     args = ap.parse_args()
 
     from flownet2_tf_tpu.tools.benchlib import enable_compilation_cache
@@ -103,14 +106,18 @@ def main():
     enable_compilation_cache()
 
     if args.smoke:
-        height, width, batch = 64, 64, 4
+        configs = [(64, 64, 4)]
         variants = [
             {"remat": False, "grad_accum": 1},
             {"remat": True, "grad_accum": 1},
             {"remat": False, "grad_accum": 2},
         ]
     else:
-        height, width, batch = 320, 448, 8  # the reference training crop
+        configs = [(320, 448, 8)]  # the reference training crop
+        if args.big:
+            # regimes where the levers should matter (VERDICT r3 #3):
+            # a Sintel-scale crop and a 4x batch at the reference crop
+            configs += [(448, 1024, 8), (320, 448, 32)]
         variants = [
             {"remat": False, "grad_accum": 1},
             {"remat": True, "grad_accum": 1},
@@ -119,36 +126,55 @@ def main():
             {"remat": True, "grad_accum": 4},
         ]
 
+    # leave scheduler headroom under the v5e 16 GiB budget when deciding
+    # whether a variant is safe to RUN (compile-time analysis is always
+    # safe; running an over-budget step would hard-OOM the chip)
+    run_budget_gib = 14.0
+
     rows = {}
     for model in args.models.split(","):
-        for v in variants:
-            tag = f"{model}_{height}x{width}_b{batch}"
-            if v["remat"]:
-                tag += "_remat"
-            if v["grad_accum"] > 1:
-                tag += f"_ga{v['grad_accum']}"
-            step_fn, state, device_batch, key = build_step(
-                model, height, width, batch, v["remat"], v["grad_accum"])
-            t0 = time.time()
-            compiled, mem = analyze(step_fn, state, device_batch, key)
-            mem["compile_s"] = round(time.time() - t0, 1)
-            mem.update(v)
-            if args.time:
-                import jax
-
-                # one warm call, then time a short chain of steps
-                st, _ = step_fn(state, device_batch, key)
+        for height, width, batch in configs:
+            for v in variants:
+                tag = f"{model}_{height}x{width}_b{batch}"
+                if v["remat"]:
+                    tag += "_remat"
+                if v["grad_accum"] > 1:
+                    tag += f"_ga{v['grad_accum']}"
+                step_fn, state, device_batch, key = build_step(
+                    model, height, width, batch, v["remat"],
+                    v["grad_accum"])
                 t0 = time.time()
-                n = 6
-                for i in range(n):
-                    st, metrics = step_fn(st, device_batch,
-                                          jax.random.fold_in(key, i))
-                loss = float(jax.device_get(metrics["loss"]))
-                dt = (time.time() - t0) / n
-                assert np.isfinite(loss)
-                mem["ms_per_step_incl_dispatch"] = round(dt * 1000, 1)
-            rows[tag] = mem
-            print(json.dumps({tag: mem}), flush=True)
+                compiled, mem = analyze(step_fn, state, device_batch, key)
+                mem["compile_s"] = round(time.time() - t0, 1)
+                mem.update(v)
+                if args.time:
+                    import jax
+
+                    total_gib = (mem.get("temp_gib", 0)
+                                 + mem.get("argument_gib", 0)
+                                 + mem.get("output_gib", 0))
+                    if total_gib > run_budget_gib:
+                        mem["ms_per_step_incl_dispatch"] = None
+                        mem["run_skipped"] = (
+                            f"{total_gib:.1f} GiB > {run_budget_gib} "
+                            "GiB run budget"
+                        )
+                    else:
+                        # one warm call, then time a short step chain
+                        st, _ = step_fn(state, device_batch, key)
+                        t0 = time.time()
+                        n = 6
+                        for i in range(n):
+                            st, metrics = step_fn(
+                                st, device_batch,
+                                jax.random.fold_in(key, i))
+                        loss = float(jax.device_get(metrics["loss"]))
+                        dt = (time.time() - t0) / n
+                        assert np.isfinite(loss)
+                        mem["ms_per_step_incl_dispatch"] = round(
+                            dt * 1000, 1)
+                rows[tag] = mem
+                print(json.dumps({tag: mem}), flush=True)
 
     if args.smoke:
         print("smoke run: results.json NOT updated (toy shapes, CPU)")

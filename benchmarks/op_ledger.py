@@ -68,6 +68,11 @@ def ledger(xplane_path: str, iters: int, batch: int = 1):
                 async_ms += sum(o["ms"] for o in ops) / iters
             else:
                 sync_ops.extend(ops)
+    # control-flow wrapper events (the bench scan's `while`) COVER their
+    # body ops, which are also recorded individually — counting both
+    # would double the total
+    sync_ops = [o for o in sync_ops
+                if (o["category"] or "") not in ("while", "conditional")]
     if not sync_ops:
         raise SystemExit(f"no sync XLA ops found in {xplane_path}")
 
@@ -139,6 +144,11 @@ def main():
     ap.add_argument("--json_out", action="store_true",
                     help="merge the row into benchmarks/results.json "
                          "under op_ledger.b{batch}")
+    ap.add_argument("--scan", action="store_true",
+                    help="capture the SCANNED bench graph (the graph "
+                         "the marginal bench times) instead of 3 "
+                         "standalone forwards — required for rows "
+                         "meant to explain the bench number")
     args = ap.parse_args()
 
     if args.capture:
@@ -153,7 +163,9 @@ def main():
                 st.enter_context(dispatch.use_warp_res(1))
             # forward --iters: the ledger divides by it, so a trace
             # recorded with a different count would mis-scale every row
-            profiler.trace_model(
+            trace_fn = (profiler.trace_model_scanned if args.scan
+                        else profiler.trace_model)
+            trace_fn(
                 args.capture, height=args.height, width=args.width,
                 batch=args.batch, iters=args.iters,
                 trace_dir=args.trace_dir,
@@ -181,6 +193,7 @@ def main():
             "model": args.capture or "2", "height": args.height,
             "width": args.width, "batch": args.batch,
             "warp_mode": args.warp_mode, "iters": args.iters,
+            "scanned": bool(args.scan),
         }
         out_path = os.path.join(os.path.dirname(__file__), "results.json")
         try:

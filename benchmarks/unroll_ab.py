@@ -1,0 +1,78 @@
+"""Unroll-vs-lax.map A/B for the per-sample warp gather split, and the
+serving b4 anomaly probe (VERDICT r3 weak #2).
+
+``_UNROLL_MAX_SAMPLES`` (ops/sampling.py) decides whether a batched
+warp issues N Python-unrolled per-sample gathers or one rolled
+``lax.map`` body. The value was originally set for COMPILE-time sanity
+(ADVICE r2); this measures the RUNTIME difference under the serving
+preset at b2..b16 so the threshold is justified by data. Each variant
+runs in a fresh subprocess (the knob is import-frozen: the jitted warp
+bodies close over it at trace time).
+
+Appends ``unroll_ab`` to benchmarks/results.json:
+  {"b{N}": {"unroll": ms_per_pair, "map": ms_per_pair}}
+
+Usage: python benchmarks/unroll_ab.py [--batches 2,4,8,16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = """
+import sys
+sys.path.insert(0, {repo!r})
+import json
+from flownet2_tf_tpu.tools.bench import run_bench
+r = run_bench(batch={batch}, iters=8, repeats=3)
+print("RESULT " + json.dumps(r["ms_per_pair"]))
+"""
+
+
+def run_variant(batch: int, threshold: int) -> float:
+    env = dict(os.environ, FLOWNET2_TPU_UNROLL_MAX=str(threshold))
+    out = subprocess.run(
+        [sys.executable, "-c", _CHILD.format(repo=REPO, batch=batch)],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1200,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return float(json.loads(line[len("RESULT "):]))
+    raise RuntimeError(
+        f"bench child failed (b{batch}, thr {threshold}):\n"
+        f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="2,4,8,16")
+    args = ap.parse_args()
+
+    rows = {}
+    for b in (int(x) for x in args.batches.split(",")):
+        # threshold above b => per-sample Python unroll; 0 => lax.map
+        rows[f"b{b}"] = {
+            "unroll": run_variant(b, 99),
+            "map": run_variant(b, 0),
+        }
+        print(f"  b{b}: unroll {rows[f'b{b}']['unroll']:7.3f} vs "
+              f"map {rows[f'b{b}']['map']:7.3f} ms/pair", flush=True)
+
+    out_path = os.path.join(os.path.dirname(__file__), "results.json")
+    with open(out_path) as f:
+        results = json.load(f)
+    results["unroll_ab"] = rows
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2, default=str)
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

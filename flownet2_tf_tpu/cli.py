@@ -104,6 +104,7 @@ def cmd_train(args):
         remat=args.remat,
         grad_accum=args.grad_accum,
         eval_every=args.eval_every,
+        transfer_flow_dtype=args.transfer_flow_dtype,
     )
     from flownet2_tf_tpu.parallel.mesh import maybe_initialize_distributed
 
@@ -585,6 +586,12 @@ def build_parser():
                         "averaging gradients (same optimizer semantics, "
                         "~N-fold lower activation memory; composes with "
                         "--remat). Batch size must divide by N")
+    p.add_argument("--transfer_flow_dtype", default="float32",
+                   choices=["float32", "float16", "bfloat16"],
+                   help="host->device GT-flow wire dtype; float16 "
+                        "near-halves the dominant per-step transfer "
+                        "(upcast on device; measured trade: "
+                        "benchmarks/flow_transfer_ab.py)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])

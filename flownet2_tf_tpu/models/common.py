@@ -272,6 +272,14 @@ def deconv(p, x, act: bool = True, compute_dtype=None):
     with swapped in/out — handled by the converter, see
     tools/convert_tf1_checkpoint.py). Precision policy: _conv_io_dtypes.
     """
+    if _DECONV_IMPL == "phase":
+        # Phase lowering: the lhs-dilated conv multiplies zeros on 3/4
+        # of its taps; emitting all 4 output phases from one unit-stride
+        # 3x3 conv (deconv_s2d's transformed weights) and unfolding
+        # keeps every MXU multiply live. Same 4 nonzero taps per output
+        # element, so numerically identical up to accumulation-of-zeros
+        # (tests/test_models.py::test_deconv_phase_matches_dilated).
+        return depth_to_space(deconv_s2d(p, x, act, compute_dtype))
     w = p["weights"]
     io_dtype, precision = _conv_io_dtypes(compute_dtype, act)
     _check_f32_master(w, io_dtype, "deconv")
@@ -378,6 +386,22 @@ def space_to_depth(x):
 
 
 _S2D_FOLD = _os.environ.get("FLOWNET2_TPU_S2D_FOLD", "conv")
+
+# deconv lowering (see :func:`deconv`): "dilated" = lhs-dilated conv,
+# "phase" = unit-stride conv emitting all 4 phases + depth_to_space.
+# MEASURED r4, FlowNet2 448x1024 bf16 serving preset: phase LOSES
+# in-model (b1 17.50 vs 14.65, b8 13.74 vs 12.98 ms/pair) — the MXU
+# work the dilation "wastes" on zeros was not the binding cost; the
+# depth_to_space relayout after every decoder level is. "dilated"
+# stays the default; the knob remains for remeasurement on future XLA
+# versions. Import-frozen (cannot join dispatch.trace_signature()).
+_DECONV_VALID = ("dilated", "phase")
+_DECONV_IMPL = _os.environ.get("FLOWNET2_TPU_DECONV", "dilated")
+if _DECONV_IMPL not in _DECONV_VALID:
+    raise ValueError(
+        f"FLOWNET2_TPU_DECONV must be one of {_DECONV_VALID}, "
+        f"got {_DECONV_IMPL!r}"
+    )
 
 
 def _s2d_fold_kernel(c, dtype):

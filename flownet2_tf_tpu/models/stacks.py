@@ -41,7 +41,8 @@ from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
 from flownet2_tf_tpu.ops.sampling import _UNROLL_MAX_SAMPLES
 
 
-def _double_warp_batched(warp_multi_fn, input_b, flow_a, flow_b):
+def _double_warp_batched(warp_multi_fn, input_b, flow_a, flow_b,
+                         image_s2d=None):
     """FlowNet2 fusion double warp over a batch: warp each sample's
     input_b by BOTH branch flows through one shared packed table.
 
@@ -51,28 +52,49 @@ def _double_warp_batched(warp_multi_fn, input_b, flow_a, flow_b):
     unroll threshold the per-sample body rolls into one ``lax.map`` so
     the HLO stays O(1) in batch size instead of 2N unrolled gather
     subgraphs (ADVICE r2).
+
+    ``image_s2d``: optional f32 S2D form of ``input_b`` for the coarse
+    warp's phase-mean pool (ops/flow_warp.py::_coarse_warp_s2d); only
+    forwarded when given, so the plain (non-S2D) warp fns keep their
+    signature.
     """
     n = input_b.shape[0]
+
+    def call(img, flows, s2d):
+        if s2d is None:
+            return warp_multi_fn(img, flows)
+        return warp_multi_fn(img, flows, image_s2d=s2d)
+
     if n <= _UNROLL_MAX_SAMPLES:
         a_parts, b_parts = [], []
         for i in range(n):
-            pair = warp_multi_fn(
+            pair = call(
                 input_b[i : i + 1],
                 jnp.concatenate(
                     [flow_a[i : i + 1], flow_b[i : i + 1]], axis=0
                 ),
+                None if image_s2d is None else image_s2d[i : i + 1],
             )
             a_parts.append(pair[0:1])
             b_parts.append(pair[1:2])
         return (jnp.concatenate(a_parts, axis=0),
                 jnp.concatenate(b_parts, axis=0))
 
-    def body(args):
-        bi, fa, fb = args
-        pair = warp_multi_fn(bi[None], jnp.stack([fa, fb], axis=0))
+    if image_s2d is None:
+        def body(args):
+            bi, fa, fb = args
+            pair = warp_multi_fn(bi[None], jnp.stack([fa, fb], axis=0))
+            return pair[0], pair[1]
+
+        return jax.lax.map(body, (input_b, flow_a, flow_b))
+
+    def body_s2d(args):
+        bi, fa, fb, s2d_i = args
+        pair = warp_multi_fn(bi[None], jnp.stack([fa, fb], axis=0),
+                             image_s2d=s2d_i[None])
         return pair[0], pair[1]
 
-    return jax.lax.map(body, (input_b, flow_a, flow_b))
+    return jax.lax.map(body_s2d, (input_b, flow_a, flow_b, image_s2d))
 
 
 # Original channel counts of the stage-2 concat blocks
@@ -114,9 +136,12 @@ def _second_stage_input_s2d(input_a, input_b, flow_s2d, compute_dtype=None):
     transpose the profile charged ~1 ms for — never materializes.
     Numerically equivalent to the plain path (tests/test_models.py S2D
     equivalences)."""
-    warped = stack_warp_s2d_enc(input_b, flow_s2d)  # (n, h/2, w/2, 12)
     a_s2d = common.space_to_depth(input_a)
     b_s2d = common.space_to_depth(input_b)
+    # b_s2d doubles as the coarse-warp pool source (phase mean of the
+    # shared f32 fold — r4 op-ledger win; no-op on the exact k=1 path)
+    warped = stack_warp_s2d_enc(input_b, flow_s2d,
+                                image_s2d=b_s2d)  # (n, h/2, w/2, 12)
     brightness_error = common.channel_norm_s2d(
         a_s2d - warped.astype(a_s2d.dtype)
     )
@@ -329,8 +354,12 @@ def apply_flownet2(params, inputs, training: bool = False,
         # (tests/test_models.py S2D equivalences).
         flow_css_s2d = _stage_flow_s2d(preds_css, in_h, in_w)
         flow_sd_s2d = _stage_flow_s2d(preds_sd, in_h, in_w)
+        # f32 fold of input_b: CSEs with the stage-2 assemblies' fold of
+        # the same image; feeds the coarse warps' phase-mean pool
+        b_s2d = common.space_to_depth(input_b)
         warped_css_s2d, warped_sd_s2d = _double_warp_batched(
-            stack_warp_multi_s2d_enc, input_b, flow_css_s2d, flow_sd_s2d
+            stack_warp_multi_s2d_enc, input_b, flow_css_s2d, flow_sd_s2d,
+            image_s2d=b_s2d,
         )
 
         a_s2d = common.space_to_depth(input_a)

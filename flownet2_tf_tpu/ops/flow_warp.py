@@ -148,20 +148,22 @@ def half_res_warp_enabled() -> bool:
     return stack_warp_res() > 1
 
 
-# The 2x2 pool feeding every half-res warp admits four XLA lowerings.
-# The serving-preset op ledger charges ~1.0 ms/pair to the reshape-mean
-# form (reshape.208 + reduce.2), so all four were A/B'd IN-MODEL
-# (benchmarks/pool_ab.py — FlowNet2 448x1024 b1 bf16 serving):
-# reshape 14.17 < window 14.45 < conv 14.67 << slices 18.34 ms/pair.
-# NEGATIVE RESULT: the reshape-mean original stays — the ledger's
-# 1.0 ms is dominated by the f32 input relayout every lowering pays,
-# not by the reduce itself, and the conv-lowering trick that won for
-# the S2D input fold (common.py) does NOT transfer here (the fold conv
-# replaced a 6-D transpose; the pool's reduce was already near-free).
-# All four are the same sum-of-4-then-*0.25 up to float reassociation
-# (pinned by tests/test_ops_oracle.py::test_pool2_impls); the knob
-# stays for remeasurement on future XLA versions.
-_POOL2_VALID = ("reshape", "window", "slices", "conv")
+# The 2x2 pool feeding every half-res warp admits five XLA lowerings.
+# r3 A/B'd four IN-MODEL (benchmarks/pool_ab.py — FlowNet2 448x1024 b1
+# bf16 serving): reshape 14.17 < window 14.45 < conv 14.67 << slices
+# 18.34 ms/pair, and kept the reshape-mean: its cost is dominated by
+# the f32 input relayout every STANDALONE lowering pays. r4 added
+# ``fold`` (phase mean of the conv-lowered space-to-depth fold,
+# common.space_to_depth) and measured it NEUTRAL in-model (b1
+# 14.51 vs 14.37, b8 13.02 vs 12.97 ms/pair): the model's own fold
+# emits bf16 (the convert fuses into the conv) while the pool needs
+# f32, so XLA compiles a second fold instead of CSE'ing — reshape
+# stays the default. The structural fix that DOES share the fold is
+# the ``image_s2d`` plumbing (_coarse_warp_s2d), which removed the
+# standalone pool from the serving graph entirely. All five lowerings
+# are the same sum-of-4-then-*0.25 up to float reassociation (pinned
+# by tests/test_ops_oracle.py::test_pool2_impls).
+_POOL2_VALID = ("reshape", "window", "slices", "conv", "fold")
 _POOL2_IMPL = _os.environ.get("FLOWNET2_TPU_POOL2", "reshape")
 if _POOL2_IMPL not in _POOL2_VALID:
     # Fail at import, not silently fall through to "reshape": the knob
@@ -191,6 +193,13 @@ def _pool2(x):
             + x[:, 1::2, 0::2] + x[:, 1::2, 1::2]
         )
         return s * jnp.asarray(0.25, x.dtype)
+    if impl == "fold":
+        # phase mean of the S2D fold; CSEs with the model's own fold of
+        # the same image on the serving S2D path (see knob comment)
+        from flownet2_tf_tpu.models.common import space_to_depth
+
+        s = space_to_depth(x)  # (n, h/2, w/2, 4c) phase-major
+        return s.reshape(n, h // 2, w // 2, 4, c).mean(axis=3)
     if impl == "conv":
         # sum-of-4 as a 2x2/2 identity conv (HIGHEST so 1.0*x is exact
         # even on the f32 path — common.py S2D-fold precedent), scaled
@@ -355,7 +364,7 @@ def _pool2_from_s2d(x_s2d):
 
 
 def _coarse_warp_s2d(image, flow_src, pool_flow, warp_impl, border,
-                     gather_dtype, k):
+                     gather_dtype, k, image_s2d=None):
     """The shared coarse-grid (k=2/4) branch of every stack_warp_s2d*
     variant: pool the image by k, rescale the pooled flow into coarse
     pixels with the grid-offset compensation (derivation:
@@ -365,12 +374,31 @@ def _coarse_warp_s2d(image, flow_src, pool_flow, warp_impl, border,
     resize gather); for k=4 one real TF1 2x resize lifts h/4 -> h/2
     first (dyadic TF1 resizes compose exactly, so resize2x followed by
     the encoded 2x equals the 4x upsample). One home for the offset
-    constant and its correctness argument."""
+    constant and its correctness argument.
+
+    ``image_s2d``: optional f32 S2D-encoded form of ``image``
+    ((n, h/2, w/2, 4c), phase-major). When the caller already folded
+    the image (the stage-2/fusion assemblies do, for their concat
+    blocks), the pool becomes a phase mean of that SHARED fold instead
+    of a standalone full-res 5-D reshape+reduce. Measured r4: removes
+    the pool rows from the serving trace entirely (fold grows
+    6.41 -> 4.46 ms/batch at b8, net graph simplification) but is
+    BENCH-NEUTRAL (b8 12.979 vs 12.971 ms/pair) — the scanned bench
+    graph's layout solver had already made the standalone pool cheap;
+    the unscanned 3-call trace r3's ledger was built from overstated
+    it (docs/DESIGN.md "Profile-reading lesson #2"). Kept: one fold
+    feeding pool+concat is the simpler graph and the hook for
+    narrower-dtype warp sources. Same area average up to f32
+    reassociation (coarse path only — the k=1 exact path never
+    pools)."""
     from flownet2_tf_tpu.models.common import s2d_encode_upsample2x
     from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
 
     n, h, w, _c = image.shape
-    image_c = _pool(image, k)
+    if image_s2d is not None:
+        image_c = _pool_from_s2d(image_s2d.astype(jnp.float32), k)
+    else:
+        image_c = _pool(image, k)
     flow_c = _coarse_flow(pool_flow(flow_src, k), k)
     warped_c = warp_impl(image_c, flow_c, border, gather_dtype)
     if k == 4:
@@ -443,16 +471,19 @@ def _stack_warp_s2d_full(image, flow, border, gather_dtype=None):
 
 
 def stack_warp_s2d_enc(image, flow_s2d, border: str = "clamp",
-                       gather_dtype=None):
+                       gather_dtype=None, image_s2d=None):
     """:func:`stack_warp_s2d` taking the flow in S2D-ENCODED form
     ((n, h/2, w/2, 8), phase-major) — the form the stage assembly
     already has (models/stacks.py::_stage_flow_s2d), so the full-res
     row-major flow never materializes; each phase's (u, v) is a channel
-    slice."""
+    slice. ``image_s2d``: optional f32 S2D form of ``image``; lets the
+    coarse (k>1) path pool via a phase mean of the caller's existing
+    fold (see :func:`_coarse_warp_s2d`). Ignored at k=1."""
     k = stack_warp_res()
     if k > 1:
         return _coarse_warp_s2d(image, flow_s2d, _pool_from_s2d,
-                                _flow_warp_oracle, border, gather_dtype, k)
+                                _flow_warp_oracle, border, gather_dtype, k,
+                                image_s2d=image_s2d)
     return _stack_warp_s2d_enc_full(image, flow_s2d, border, gather_dtype)
 
 
@@ -490,10 +521,11 @@ def _stack_warp_s2d_enc_full(image, flow_s2d, border, gather_dtype=None):
 
 
 def stack_warp_multi_s2d_enc(image, flows_s2d, border: str = "clamp",
-                             gather_dtype=None):
+                             gather_dtype=None, image_s2d=None):
     """Multi-flow :func:`stack_warp_s2d_enc`: ONE ((1, h, w, c)) image,
     M S2D-encoded flows ((M, h/2, w/2, 8)), one shared packed table
-    (the FlowNet2 fusion double warp). Returns (M, h/2, w/2, 4c)."""
+    (the FlowNet2 fusion double warp). Returns (M, h/2, w/2, 4c).
+    ``image_s2d``: see :func:`stack_warp_s2d_enc`."""
     if image.shape[0] != 1:
         # the packed table's flat index only addresses sample 0's rows —
         # a batched image would silently warp image[0] for every flow
@@ -505,7 +537,7 @@ def stack_warp_multi_s2d_enc(image, flows_s2d, border: str = "clamp",
     if k > 1:
         return _coarse_warp_s2d(image, flows_s2d, _pool_from_s2d,
                                 _flow_warp_multi_impl, border,
-                                gather_dtype, k)
+                                gather_dtype, k, image_s2d=image_s2d)
     return _stack_warp_multi_s2d_enc_full(image, flows_s2d, border,
                                           gather_dtype)
 

@@ -35,6 +35,8 @@ clamped coordinate yields wx/wy in {0, 1} at the borders.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -44,8 +46,12 @@ from jax import lax
 # linearly growing trace/compile time (ADVICE r2). Each mapped gather
 # still sees a single-sample operand, so the emitter stays in its fast
 # regime; the in-model warp batches (n<=4, where the unroll was
-# measured) are unaffected.
-_UNROLL_MAX_SAMPLES = 8
+# measured) are unaffected. Runtime A/B at serving batches:
+# benchmarks/unroll_ab.py -> results.json::unroll_ab. Override with
+# FLOWNET2_TPU_UNROLL_MAX (read at import; it cannot join
+# dispatch.trace_signature() because the jitted warp bodies close over
+# it at trace time — A/Bs must use a fresh process per value).
+_UNROLL_MAX_SAMPLES = int(_os.environ.get("FLOWNET2_TPU_UNROLL_MAX", "8"))
 
 
 def _pack_table(image, gather_dtype=None):

@@ -296,6 +296,72 @@ def _trace_model_inner(model_name, height, width, batch, iters,
     return trace_dir
 
 
+def trace_model_scanned(model_name="2", height=448, width=1024, batch=1,
+                        iters=6, compute_dtype="bfloat16",
+                        trace_dir="/tmp/flownet2_trace", warp_mode=None):
+    """Like :func:`trace_model`, but traces the BENCH graph: N forwards
+    chained in one jitted ``lax.scan`` (tools/bench.py methodology).
+
+    XLA's layout solver makes materially different choices inside the
+    scan body than for a standalone forward — r4 measured the
+    unscanned 3-call trace overstating the serving pool/copy costs by
+    ~25% relative to the marginal bench (docs/DESIGN.md
+    "Profile-reading lesson #2") — so ledger rows meant to explain the
+    bench number must come from THIS capture. The scan wrapper's
+    `while` event covers its body and is excluded by the ledger."""
+    import contextlib
+
+    from flownet2_tf_tpu.ops import dispatch
+
+    with contextlib.ExitStack() as stack:
+        if warp_mode == "half":
+            stack.enter_context(dispatch.use_half_res_warp(True))
+        elif warp_mode == "full":
+            stack.enter_context(dispatch.use_warp_res(1))
+        return _trace_model_scanned_inner(
+            model_name, height, width, batch, iters, compute_dtype,
+            trace_dir,
+        )
+
+
+def _trace_model_scanned_inner(model_name, height, width, batch, iters,
+                               compute_dtype, trace_dir):
+    import functools
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from flownet2_tf_tpu.models.registry import get_model
+
+    m = get_model(model_name)
+    params = m.init(jax.random.PRNGKey(0))
+    cd = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+    if cd is not None:
+        from flownet2_tf_tpu.models.common import cast_params_for_inference
+
+        params = cast_params_for_inference(params, cd)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def chained(n, params, a, b):
+        def body(_, x):
+            preds = m.apply(params, {"input_a": a + x, "input_b": b},
+                            compute_dtype=cd)
+            return None, preds["flow"].mean()
+        xs = jnp.arange(n, dtype=jnp.float32) * 1e-12
+        _, ys = lax.scan(body, None, xs)
+        return ys.sum()
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(batch, height, width, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(batch, height, width, 3).astype(np.float32))
+    float(chained(iters, params, a, b))  # compile outside the trace
+    with jax.profiler.trace(trace_dir):
+        float(chained(iters, params, a, b))
+    return trace_dir
+
+
 def print_summary(trace_dir, top=20):
     xp = latest_xplane(trace_dir)
     summary = summarize_xplane(xp, top=top)

@@ -332,10 +332,10 @@ def test_bilinear_gather_large_batch_lax_map_path(rng):
 # ---------------------------------------------------------------------------
 
 def test_pool2_impls_equivalent(rng):
-    """The four _pool2 lowerings (FLOWNET2_TPU_POOL2: reshape / window /
-    slices / conv) are the same 2x2 area average up to f32
+    """The five _pool2 lowerings (FLOWNET2_TPU_POOL2: reshape / window /
+    slices / conv / fold) are the same 2x2 area average up to f32
     reassociation — speed alone picks the default (benchmarks/
-    pool_ab.py; the in-model A/B kept 'reshape')."""
+    pool_ab.py)."""
     import importlib
     fw = importlib.import_module("flownet2_tf_tpu.ops.flow_warp")
 
@@ -343,7 +343,7 @@ def test_pool2_impls_equivalent(rng):
     ref = np.asarray(x).reshape(2, 8, 2, 12, 2, 3).mean(axis=(2, 4))
     orig = fw._POOL2_IMPL
     try:
-        for impl in ("reshape", "window", "slices", "conv"):
+        for impl in fw._POOL2_VALID:
             fw._POOL2_IMPL = impl
             np.testing.assert_allclose(
                 np.asarray(fw._pool2(x)), ref, rtol=0, atol=1e-6,

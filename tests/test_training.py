@@ -145,6 +145,44 @@ def test_train_smoke_loss_decreases(tmp_path):
     )
 
 
+def test_transfer_flow_dtype_fit(tmp_path):
+    """transfer_flow_dtype='float16' ships the GT flow narrow and
+    upcasts on device: fit() must wire the cast iterator in, train
+    finitely, and the loss must track the f32 run closely (targets
+    quantized at <=2^-11 relative). Bad values error loudly."""
+    import pytest
+
+    losses = {}
+    for dt in ("float32", "float16", "bfloat16"):
+        ds = SyntheticFlowDataset(size=8, height=64, width=64, seed=3,
+                                  max_flow=3.0)
+        loader = BatchLoader(ds, batch_size=2, shuffle=False,
+                             num_workers=1)
+        trainer = Trainer(
+            _small_cfg(tmp_path, f"tfd_{dt}", transfer_flow_dtype=dt,
+                       max_steps=4),
+            mesh=_one_device_mesh(),
+        )
+        state = trainer.fit(loader)
+        metrics = trainer.evaluate(state, loader, max_batches=2)
+        losses[dt] = float(metrics)
+        assert np.isfinite(losses[dt])
+    # same steps, targets differing only by f16/bf16 GT rounding
+    assert abs(losses["float16"] - losses["float32"]) < 0.05 * (
+        1 + losses["float32"])
+    assert abs(losses["bfloat16"] - losses["float32"]) < 0.2 * (
+        1 + losses["float32"])
+
+    ds = SyntheticFlowDataset(size=4, height=64, width=64, seed=3)
+    loader = BatchLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    trainer = Trainer(
+        _small_cfg(tmp_path, "tfd_bad", transfer_flow_dtype="int8"),
+        mesh=_one_device_mesh(),
+    )
+    with pytest.raises(ValueError, match="transfer_flow_dtype"):
+        trainer.fit(loader)
+
+
 def test_dp_step_matches_single_device(tmp_path):
     """Data-parallel correctness: the same batch stepped on a 2-device
     mesh and on 1 device produces the same loss and parameters (XLA's
