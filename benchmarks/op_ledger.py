@@ -76,7 +76,21 @@ def ledger(xplane_path: str, iters: int, batch: int = 1):
     if not sync_ops:
         raise SystemExit(f"no sync XLA ops found in {xplane_path}")
 
+    # roofline floors per category from XLA's own analytics: flops
+    # against the chip's matmul peak is a TRUE lower bound; the bytes
+    # column is XLA's per-op operand+output sum, which ignores fusion
+    # and therefore over-states traffic — reported as a bound estimate,
+    # not a floor (bench.py roofline note)
+    try:
+        from flownet2_tf_tpu.tools.benchlib import device_peaks
+
+        peak_flops, peak_bw = device_peaks()
+    except Exception:
+        peak_flops = peak_bw = None
+
     by_cat = defaultdict(float)
+    by_cat_floor = defaultdict(float)
+    by_cat_bytes = defaultdict(float)
     by_file = defaultdict(float)
     by_src = defaultdict(float)
     total = flops = nbytes = 0.0
@@ -85,11 +99,22 @@ def ledger(xplane_path: str, iters: int, batch: int = 1):
         total += ms
         cat = o["category"] or "(uncategorized)"
         by_cat[cat] += ms
+        # flops/bytes stats are PER EXECUTION (static metadata, unlike
+        # ms which sums occurrences): scale by how often the op ran
+        execs_per_iter = o["count"] / iters
+        if peak_flops:
+            by_cat_floor[cat] += (
+                o["flops"] * execs_per_iter / peak_flops * 1e3
+            )
+        if peak_bw:
+            by_cat_bytes[cat] += (
+                o["bytes"] * execs_per_iter / peak_bw * 1e3
+            )
         src = _short_src(o["source"])
         by_file[src.split(":")[0]] += ms
         by_src[(src, cat)] += ms
-        flops += o["flops"] / iters
-        nbytes += o["bytes"] / iters
+        flops += o["flops"] * execs_per_iter
+        nbytes += o["bytes"] * execs_per_iter
 
     conv_ms = sum(ms for c, ms in by_cat.items() if "convolution" in c)
     top_sources = sorted(by_src.items(), key=lambda kv: -kv[1])
@@ -106,6 +131,16 @@ def ledger(xplane_path: str, iters: int, batch: int = 1):
             c: round(ms, 3)
             for c, ms in sorted(by_cat.items(), key=lambda kv: -kv[1])
         },
+        # per-category roofline columns: flops_floor_ms is a true lower
+        # bound (matmul peak); bytes_est_ms uses the fusion-blind op-sum
+        "by_category_flops_floor_ms": {
+            c: round(by_cat_floor[c], 3)
+            for c, _ in sorted(by_cat.items(), key=lambda kv: -kv[1])
+        } if peak_flops else None,
+        "by_category_bytes_est_ms": {
+            c: round(by_cat_bytes[c], 3)
+            for c, _ in sorted(by_cat.items(), key=lambda kv: -kv[1])
+        } if peak_bw else None,
         "by_file": {
             f: round(ms, 3)
             for f, ms in sorted(by_file.items(), key=lambda kv: -kv[1])

@@ -590,6 +590,32 @@ def conv7x7s2_s2d(p, x, compute_dtype=None, in_splits=None,
     return leaky_relu(y + p["biases"].astype(io_dtype))
 
 
+# channel_norm_s2d lowering: "slice" = per-phase channel slices +
+# reduce (r3 form), "matmul" = square once, then ONE 1x1 conv with a
+# 0/1 block-indicator kernel sums each phase's squares on the MXU —
+# same adds, HIGHEST precision, same _safe_sqrt. The slice form's 4
+# narrow reduces are a measurable loop-fusion cell in the serving
+# ledger (results.json::op_ledger b8); the conv form routes the same
+# bytes through the conv emitter's layouts. Import-frozen knob.
+_CNORM_VALID = ("slice", "matmul")
+_CNORM_IMPL = _os.environ.get("FLOWNET2_TPU_CNORM", "slice")
+if _CNORM_IMPL not in _CNORM_VALID:
+    raise ValueError(
+        f"FLOWNET2_TPU_CNORM must be one of {_CNORM_VALID}, "
+        f"got {_CNORM_IMPL!r}"
+    )
+
+
+def _phase_sum_kernel(c, dtype):
+    """(1, 1, 4c, 4) block-indicator kernel: K[0,0,q*c+ch,q] = 1."""
+    import numpy as _np
+
+    k = _np.zeros((1, 1, 4 * c, 4), dtype=_np.float32)
+    for q in range(4):
+        k[0, 0, q * c : (q + 1) * c, q] = 1.0
+    return jnp.asarray(k, dtype=dtype)
+
+
 def channel_norm_s2d(x):
     """Per-phase :func:`channel_norm` of an S2D-encoded tensor.
 
@@ -598,9 +624,21 @@ def channel_norm_s2d(x):
     without leaving S2D space. Per-phase channel slices (not a
     (..., 4, c) reshape, whose tiny minor dims tile at ~5% lane
     utilization — the r3 phase-shaped-warp lesson, ops/flow_warp.py
-    S2D section)."""
+    S2D section). Alternative MXU lowering: _CNORM_IMPL."""
     n, h, w, c4 = x.shape
     c = c4 // 4
+    if _CNORM_IMPL == "matmul":
+        s = lax.conv_general_dilated(
+            jnp.square(x),
+            _phase_sum_kernel(c, x.dtype),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=_DN,
+            # 0/1 kernel: HIGHEST keeps 1.0*sq exact (default rounds
+            # operands to bf16 — the S2D-fold precedent)
+            precision=lax.Precision.HIGHEST,
+        )
+        return _safe_sqrt(s)
     return jnp.concatenate(
         [
             _safe_sqrt(

@@ -208,6 +208,54 @@ def use_warp_res(k):
         _state.warp_res = prev
 
 
+_WARP_SRC_VALID = ("float32", "bfloat16")
+
+
+def get_warp_source_dtype() -> str:
+    """Storage dtype for the COARSE (k>1) stack-warp source chain —
+    pooled image, packed 4-tap table, gathered records ('float32'
+    default, or 'bfloat16'). Coordinates and the flow math stay f32
+    regardless. Only the approximate serving-preset warps are affected;
+    the k=1 exact path never consults this. bf16 halves the
+    issue-rate-bound gather's traffic AND is cast-free when the source
+    comes from the model's own bf16 S2D fold (the image_s2d plumbing) —
+    unlike the r2 full-res gather_dtype experiment, which paid an f32
+    relayout around the table build. MEASURED r4
+    (benchmarks/warp_src_ab.py -> results.json::warp_src_ab) and
+    REJECTED as a default: AEE cost is nil (+0.0001-0.0003 px on
+    trained weights) and b1 is noise-neutral (14.25 vs 14.09-14.53),
+    but b8 REGRESSES 13.0 -> 16.8 ms/pair — the gather emitter's bf16
+    operand path loses more at batch than the halved traffic saves.
+    Default 'float32'; the knob stays for shapes/backends where the
+    bf16 path wins."""
+    mode = getattr(_state, "warp_source_dtype", None)
+    if mode is None:
+        mode = os.environ.get("FLOWNET2_TPU_WARP_SRC", "float32")
+    if mode not in _WARP_SRC_VALID:
+        raise ValueError(
+            f"warp source dtype must be one of {_WARP_SRC_VALID}, got "
+            f"{mode!r}"
+        )
+    return mode
+
+
+@contextlib.contextmanager
+def use_warp_source_dtype(mode):
+    """Force the coarse-warp source dtype ('float32'/'bfloat16'; None =
+    env default) for model traces on this thread."""
+    if mode is not None and mode not in _WARP_SRC_VALID:
+        raise ValueError(
+            f"warp source dtype must be one of {_WARP_SRC_VALID} or "
+            f"None, got {mode!r}"
+        )
+    prev = getattr(_state, "warp_source_dtype", None)
+    _state.warp_source_dtype = mode
+    try:
+        yield
+    finally:
+        _state.warp_source_dtype = prev
+
+
 def trace_signature() -> tuple:
     """Hashable snapshot of every dispatch knob that shapes a model
     trace.
@@ -229,6 +277,7 @@ def trace_signature() -> tuple:
         get_f32_features_precision(),
         stack_warp_res(),
         get_bf16_interconv(),
+        get_warp_source_dtype(),
     )
 
 

@@ -242,6 +242,18 @@ def _coarse_flow(flow_pooled, k):
     return flow_pooled * (1.0 / k) - (k - 1) / (2.0 * k)
 
 
+def _warp_src_dtype(image_dtype):
+    """Coarse-warp source-chain dtype: the dispatch knob, else the
+    image's own floating dtype (non-float inputs promote to f32)."""
+    if dispatch.get_warp_source_dtype() == "bfloat16":
+        return jnp.bfloat16
+    import numpy as _np
+
+    if jnp.issubdtype(image_dtype, jnp.floating):
+        return image_dtype
+    return _np.float32
+
+
 def flow_warp_coarse(image, flow, k, border: str = "clamp",
                      gather_dtype=None):
     """``flow_warp`` computed on a k x k-pooled image with the flow
@@ -251,7 +263,7 @@ def flow_warp_coarse(image, flow, k, border: str = "clamp",
     from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
 
     n, h, w, c = image.shape
-    image_c = _pool(image, k)
+    image_c = _pool(image.astype(_warp_src_dtype(image.dtype)), k)
     flow_c = _coarse_flow(_pool(flow, k), k)
     warped_c = _flow_warp_oracle(image_c, flow_c, border, gather_dtype)
     return resize_bilinear_tf1(warped_c, h, w)
@@ -268,7 +280,7 @@ def flow_warp_multi_coarse(image, flows, k, border: str = "clamp",
     from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
 
     n, h, w, c = image.shape
-    image_c = _pool(image, k)
+    image_c = _pool(image.astype(_warp_src_dtype(image.dtype)), k)
     flows_c = _coarse_flow(_pool(flows, k), k)
     warped_c = _flow_warp_multi_impl(image_c, flows_c, border, gather_dtype)
     return resize_bilinear_tf1(warped_c, h, w)
@@ -395,10 +407,14 @@ def _coarse_warp_s2d(image, flow_src, pool_flow, warp_impl, border,
     from flownet2_tf_tpu.ops.resize import resize_bilinear_tf1
 
     n, h, w, _c = image.shape
+    src_dtype = _warp_src_dtype(image.dtype)
     if image_s2d is not None:
-        image_c = _pool_from_s2d(image_s2d.astype(jnp.float32), k)
+        # the bf16 cast of the shared fold is free: the model's concat
+        # consumer already forces a bf16-output fold under the serving
+        # preset, so XLA CSEs the two (dispatch.get_warp_source_dtype)
+        image_c = _pool_from_s2d(image_s2d.astype(src_dtype), k)
     else:
-        image_c = _pool(image, k)
+        image_c = _pool(image.astype(src_dtype), k)
     flow_c = _coarse_flow(pool_flow(flow_src, k), k)
     warped_c = warp_impl(image_c, flow_c, border, gather_dtype)
     if k == 4:

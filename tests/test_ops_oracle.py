@@ -597,11 +597,20 @@ def test_channel_norm_s2d_matches_full_res(rng):
     from flownet2_tf_tpu.models import common
 
     x = jnp.asarray(rng.rand(2, 8, 10, 3).astype(np.float32))
-    got = np.asarray(common.channel_norm_s2d(common.space_to_depth(x)))
     want = np.asarray(
         common.space_to_depth(common.channel_norm(x))
     )
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    orig = common._CNORM_IMPL
+    try:
+        for impl in common._CNORM_VALID:
+            common._CNORM_IMPL = impl
+            got = np.asarray(
+                common.channel_norm_s2d(common.space_to_depth(x))
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7,
+                                       err_msg=impl)
+    finally:
+        common._CNORM_IMPL = orig
 
 
 def test_double_warp_batched_rolls_into_lax_map(rng):
