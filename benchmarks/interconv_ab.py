@@ -133,6 +133,8 @@ def main():
 
     params = load_trained_params()
     row["trained_weights"] = params is not None
+    row["curriculum"] = os.environ.get(
+        "FLOWNET2_CURRICULUM_NAME", "r3_curriculum")
     if params is None:
         print("no trained checkpoint - using random init", flush=True)
         params = get_model("2").init(jax.random.PRNGKey(0))
