@@ -58,8 +58,12 @@ def main():
     from flownet2_tf_tpu.tools.benchlib import enable_compilation_cache
 
     enable_compilation_cache()
-    # held-out: training used seed=7
-    ds = SyntheticFlowDataset(size=args.pairs, height=192, width=256,
+    # held-out: training used seed=7; resolution follows the curriculum
+    # crop via FLOWNET2_AB_EVAL_HW (ab_common.eval_hw)
+    from ab_common import eval_hw
+
+    eh, ew = eval_hw()
+    ds = SyntheticFlowDataset(size=args.pairs, height=eh, width=ew,
                               seed=1234)
     scenes = [ds[i] for i in range(len(ds))]
 

@@ -66,7 +66,9 @@ def main():
           flush=True)
     from flownet2_tf_tpu.data.loader import SyntheticFlowDataset
 
-    ds = SyntheticFlowDataset(size=12, height=192, width=256, seed=1234)
+    from ab_common import eval_hw
+    eh, ew = eval_hw()
+    ds = SyntheticFlowDataset(size=12, height=eh, width=ew, seed=1234)
 
     # one jitted closure per mode: the precision override is a
     # thread-local read at TRACE time, so a single cached jit would

@@ -92,7 +92,9 @@ def measure_aee(params):
 
     model = get_model("2")
     # held-out seed (training used seed=7)
-    ds = SyntheticFlowDataset(size=24, height=192, width=256, seed=1234)
+    from ab_common import eval_hw
+    eh, ew = eval_hw()
+    ds = SyntheticFlowDataset(size=24, height=eh, width=ew, seed=1234)
 
     def aee(half, dtype):
         cd = jnp.bfloat16 if dtype == "bf16" else None
@@ -153,7 +155,10 @@ def main():
         print("== speed (448x1024 b1 bf16)", flush=True)
         row["forward_ms"] = measure_speed(params)
     if not args.skip_aee:
-        print("== accuracy (held-out synthetic, 192x256)", flush=True)
+        from ab_common import eval_hw
+        row["eval_hw"] = "%dx%d" % eval_hw()
+        print("== accuracy (held-out synthetic, %s)"
+              % row["eval_hw"], flush=True)
         row.update(measure_aee(params))
 
     out_path = os.path.join(os.path.dirname(__file__), "results.json")

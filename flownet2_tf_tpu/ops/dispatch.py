@@ -265,7 +265,14 @@ def trace_signature() -> tuple:
     inference/eval/spatial entry points) must include this tuple as a
     static argument — otherwise a call under a different
     ``use_half_res_warp``/``use_implementation``/... context silently
-    hits the cache entry traced under the OLD configuration."""
+    hits the cache entry traced under the OLD configuration.
+
+    Deliberately NOT included (import-frozen knobs): env vars read once
+    at module import — ``FLOWNET2_TPU_POOL2`` (models/common.py) and
+    ``FLOWNET2_TPU_UNROLL_MAX`` (ops/sampling.py). They cannot change
+    within a process, so they cannot invalidate a cache entry; A/Bs over
+    them must use a fresh subprocess per value (see benchmarks/pool_ab.py
+    and benchmarks/unroll_ab.py)."""
     from flownet2_tf_tpu.ops.flow_warp import stack_warp_res
     from flownet2_tf_tpu.models import common as _common
 
