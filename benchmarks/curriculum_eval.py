@@ -93,17 +93,18 @@ def main():
                 err = jnp.sqrt(((flow[0] - s["flow"]) ** 2).sum(-1)).mean()
                 total += float(err)
             aee = total / len(scenes)
-            rows[f"{run}/{stage}"] = {"aee": round(aee, 5), "step": step}
+            rows[f"{run}/{stage}"] = {"aee": round(aee, 5), "step": step,
+                                      "eval_hw": f"{eh}x{ew}"}
             print(f"  {run}/{stage} @step {step}: AEE {aee:.5f} px",
                   flush=True)
 
     out_path = os.path.join(os.path.dirname(__file__), "results.json")
     with open(out_path) as f:
         results = json.load(f)
-    results["curriculum_eval"] = {
-        "pairs": args.pairs, "height": 192, "width": 256,
+    results.setdefault("curriculum_eval", {}).update({
+        "pairs": args.pairs, "height": eh, "width": ew,
         "compute_dtype": "float32", **rows,
-    }
+    })
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2, default=str)
     print("wrote", out_path)
