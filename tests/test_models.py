@@ -151,6 +151,46 @@ def test_deconv_matches_tf1_conv2d_transpose(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_deconv_phase_matches_dilated(rng, monkeypatch):
+    """The FLOWNET2_TPU_DECONV=phase lowering (deconv via
+    _s2d_wdeconv4 + depth_to_space) computes the SAME 4 nonzero taps
+    per output element as the default lhs-dilated conv; the two paths
+    must agree to fp-reorder level (cited from models/common.py's
+    deconv docstring). Covers bias tiling and the leaky-relu path."""
+    ci, co = 6, 5
+    x = jnp.asarray(rng.randn(2, 8, 12, ci).astype(np.float32))
+    p = {
+        "weights": jnp.asarray(rng.randn(4, 4, ci, co).astype(np.float32)),
+        "biases": jnp.asarray(rng.randn(co).astype(np.float32)),
+    }
+    for act in (False, True):
+        want = common.deconv(p, x, act=act)
+        monkeypatch.setattr(common, "_DECONV_IMPL", "phase")
+        got = common.deconv(p, x, act=act)
+        monkeypatch.setattr(common, "_DECONV_IMPL", "dilated")
+        assert got.shape == want.shape == (2, 16, 24, co)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_deconv_s2d_encoding_is_phase_major(rng):
+    """deconv_s2d returns the S2D (phase-major) encoding of deconv's
+    output at input resolution: space_to_depth(deconv(x)) block
+    ordering (qy, qx) major over original channels."""
+    ci, co = 3, 4
+    x = jnp.asarray(rng.randn(1, 6, 7, ci).astype(np.float32))
+    p = {
+        "weights": jnp.asarray(rng.randn(4, 4, ci, co).astype(np.float32)),
+        "biases": jnp.asarray(rng.randn(co).astype(np.float32)),
+    }
+    full = np.asarray(common.deconv(p, x, act=False))  # (1, 12, 14, co)
+    enc = np.asarray(common.deconv_s2d(p, x, act=False))  # (1, 6, 7, 4co)
+    want = full.reshape(1, 6, 2, 7, 2, co).transpose(0, 1, 3, 2, 4, 5)
+    want = want.reshape(1, 6, 7, 4 * co)
+    np.testing.assert_allclose(enc, want, rtol=1e-4, atol=1e-5)
+
+
 def test_channel_norm(rng):
     x = jnp.asarray(rng.randn(2, 4, 4, 3).astype(np.float32))
     got = np.asarray(common.channel_norm(x))
