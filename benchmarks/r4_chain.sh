@@ -33,3 +33,7 @@ timeout 1800 python benchmarks/f32_precision_probe.py \
     || echo "f32_precision_probe FAILED ($?)"
 
 echo "=== r4_chain done $(date -u +%H:%M:%S) ==="
+
+echo "=== [7/7] unroll_ab retry (hardened) $(date -u +%H:%M:%S) ==="
+timeout 4800 python benchmarks/unroll_ab.py || echo "unroll_ab retry FAILED ($?)"
+echo "=== r4_chain fully done $(date -u +%H:%M:%S) ==="

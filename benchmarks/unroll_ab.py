@@ -36,17 +36,33 @@ print("RESULT " + json.dumps(r["ms_per_pair"]))
 
 
 def run_variant(batch: int, threshold: int) -> float:
+    # One retry on a hung child: the axon relay connection can stall
+    # permanently if it is opened while the single host core is
+    # oversubscribed (observed r4: a child sat 20 min in ep_poll with
+    # 22 s of CPU); a fresh process gets a fresh connection.
     env = dict(os.environ, FLOWNET2_TPU_UNROLL_MAX=str(threshold))
-    out = subprocess.run(
-        [sys.executable, "-c", _CHILD.format(repo=REPO, batch=batch)],
-        env=env, cwd=REPO, capture_output=True, text=True, timeout=1200,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return float(json.loads(line[len("RESULT "):]))
+    last_exc = None
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _CHILD.format(repo=REPO, batch=batch)],
+                env=env, cwd=REPO, capture_output=True, text=True,
+                timeout=900,
+            )
+        except subprocess.TimeoutExpired as exc:
+            last_exc = exc
+            print(f"  b{batch} thr {threshold}: child hung (attempt "
+                  f"{attempt + 1}/2), retrying", flush=True)
+            continue
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return float(json.loads(line[len("RESULT "):]))
+        raise RuntimeError(
+            f"bench child failed (b{batch}, thr {threshold}):\n"
+            f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+        )
     raise RuntimeError(
-        f"bench child failed (b{batch}, thr {threshold}):\n"
-        f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+        f"bench child hung twice (b{batch}, thr {threshold}): {last_exc}"
     )
 
 
@@ -55,22 +71,26 @@ def main():
     ap.add_argument("--batches", default="2,4,8,16")
     args = ap.parse_args()
 
-    rows = {}
+    out_path = os.path.join(os.path.dirname(__file__), "results.json")
+
+    def merge(rows):
+        # per-batch incremental merge so a hung later point cannot lose
+        # the earlier measurements (the r4 b4 hang cost the whole row)
+        with open(out_path) as f:
+            results = json.load(f)
+        results.setdefault("unroll_ab", {}).update(rows)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2, default=str)
+
     for b in (int(x) for x in args.batches.split(",")):
         # threshold above b => per-sample Python unroll; 0 => lax.map
-        rows[f"b{b}"] = {
+        row = {
             "unroll": run_variant(b, 99),
             "map": run_variant(b, 0),
         }
-        print(f"  b{b}: unroll {rows[f'b{b}']['unroll']:7.3f} vs "
-              f"map {rows[f'b{b}']['map']:7.3f} ms/pair", flush=True)
-
-    out_path = os.path.join(os.path.dirname(__file__), "results.json")
-    with open(out_path) as f:
-        results = json.load(f)
-    results["unroll_ab"] = rows
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=2, default=str)
+        print(f"  b{b}: unroll {row['unroll']:7.3f} vs "
+              f"map {row['map']:7.3f} ms/pair", flush=True)
+        merge({f"b{b}": row})
     print("wrote", out_path)
 
 
