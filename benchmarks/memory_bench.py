@@ -75,6 +75,48 @@ def build_step(model, height, width, batch, remat, grad_accum):
     return step_fn, state, device_batch, key
 
 
+def chained_step_ms(step_fn, state, device_batch, key, iters=6):
+    """Marginal per-step time via a lax.scan step chain (the benchlib
+    train_step_ms methodology). Timing individual dispatches through
+    the axon relay is invalid — the r4 first cut measured 25 s per
+    "step" of pure per-dispatch relay overhead for a step benchlib
+    clocks at 36 ms; only the marginal of scan(n+k) - scan(n) inside
+    ONE jit isolates device time (DESIGN.md "Measuring honestly")."""
+    import functools
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+    from jax import lax
+
+    inner = step_fn.__wrapped__
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def chained(n, st0, batch, k0):
+        def body(carry, _):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, metrics = inner(st, batch, sub)
+            return (st, k), metrics["loss"]
+
+        (_, _), losses = lax.scan(
+            body, (st0, k0), jnp.arange(n, dtype=jnp.float32))
+        return losses.sum()
+
+    def run(n):
+        t0 = _time.perf_counter()
+        v = float(chained(n, state, device_batch, key))
+        assert _np.isfinite(v), f"non-finite loss in timing chain: {v}"
+        return _time.perf_counter() - t0
+
+    run(1)
+    run(1 + iters)
+    t1 = run(1)
+    t2 = run(1 + iters)
+    return (t2 - t1) / iters * 1000.0
+
+
 def analyze(step_fn, state, device_batch, key):
     lowered = step_fn.lower(state, device_batch, key)
     compiled = lowered.compile()
@@ -87,6 +129,21 @@ def analyze(step_fn, state, device_batch, key):
         if v is not None:
             out[field.replace("_size_in_bytes", "_gib")] = round(v / gib, 4)
     return compiled, out
+
+
+def merge_rows(rows):
+    """Merge rows into results.json::train_memory immediately — a later
+    variant dying (relay stall, OOM, timeout) must not lose measured
+    data (the r4 first cut wrote once at the end and lost its rows to a
+    SIGTERM)."""
+    try:
+        with open(RESULTS) as f:
+            results = json.load(f)
+    except FileNotFoundError:
+        results = {}
+    results.setdefault("train_memory", {}).update(rows)
+    with open(RESULTS, "w") as f:
+        json.dump(results, f, indent=1)
 
 
 def main():
@@ -148,45 +205,26 @@ def main():
                 mem["compile_s"] = round(time.time() - t0, 1)
                 mem.update(v)
                 if args.time:
-                    import jax
-
                     total_gib = (mem.get("temp_gib", 0)
                                  + mem.get("argument_gib", 0)
                                  + mem.get("output_gib", 0))
                     if total_gib > run_budget_gib:
-                        mem["ms_per_step_incl_dispatch"] = None
+                        mem["ms_per_step"] = None
                         mem["run_skipped"] = (
                             f"{total_gib:.1f} GiB > {run_budget_gib} "
                             "GiB run budget"
                         )
                     else:
-                        # one warm call, then time a short step chain
-                        st, _ = step_fn(state, device_batch, key)
-                        t0 = time.time()
-                        n = 6
-                        for i in range(n):
-                            st, metrics = step_fn(
-                                st, device_batch,
-                                jax.random.fold_in(key, i))
-                        loss = float(jax.device_get(metrics["loss"]))
-                        dt = (time.time() - t0) / n
-                        assert np.isfinite(loss)
-                        mem["ms_per_step_incl_dispatch"] = round(
-                            dt * 1000, 1)
+                        mem["ms_per_step"] = round(chained_step_ms(
+                            step_fn, state, device_batch, key), 1)
                 rows[tag] = mem
                 print(json.dumps({tag: mem}), flush=True)
+                if not args.smoke:
+                    merge_rows({tag: mem})
 
     if args.smoke:
         print("smoke run: results.json NOT updated (toy shapes, CPU)")
         return
-    try:
-        with open(RESULTS) as f:
-            results = json.load(f)
-    except FileNotFoundError:
-        results = {}
-    results.setdefault("train_memory", {}).update(rows)
-    with open(RESULTS, "w") as f:
-        json.dump(results, f, indent=1)
     print(f"wrote train_memory ({len(rows)} rows) -> {RESULTS}")
 
 
