@@ -55,6 +55,7 @@ def main():
 
     from flownet2_tf_tpu.data.loader import SyntheticFlowDataset
     from flownet2_tf_tpu.models.registry import get_model
+    from flownet2_tf_tpu.tools.arbiter import tpu_lock
     from flownet2_tf_tpu.tools.benchlib import enable_compilation_cache
 
     enable_compilation_cache()
@@ -67,7 +68,13 @@ def main():
                               seed=1234)
     scenes = [ds[i] for i in range(len(ds))]
 
+    import contextlib
+
     rows = {}
+    # hold the device for the whole eval sweep (script exits right
+    # after, so process-lifetime scope is the honest scope here)
+    stack = contextlib.ExitStack()
+    stack.enter_context(tpu_lock(label="curriculum_eval"))
     for run in args.runs.split(","):
         run = run.strip()
         for stage in args.stages.split(","):
@@ -94,17 +101,23 @@ def main():
                 total += float(err)
             aee = total / len(scenes)
             rows[f"{run}/{stage}"] = {"aee": round(aee, 5), "step": step,
-                                      "eval_hw": f"{eh}x{ew}"}
+                                      "eval_hw": f"{eh}x{ew}",
+                                      "pairs": args.pairs}
             print(f"  {run}/{stage} @step {step}: AEE {aee:.5f} px",
                   flush=True)
 
+    stack.close()  # device work done; release before the file merge
     out_path = os.path.join(os.path.dirname(__file__), "results.json")
     with open(out_path) as f:
         results = json.load(f)
-    results.setdefault("curriculum_eval", {}).update({
-        "pairs": args.pairs, "height": eh, "width": ew,
-        "compute_dtype": "float32", **rows,
-    })
+    # no section-level height/width header (ADVICE r4): rows from
+    # different eval resolutions coexist, so each row carries its own
+    # eval_hw/pairs; drop any stale header fields from older writers
+    section = results.setdefault("curriculum_eval", {})
+    for stale in ("pairs", "height", "width"):
+        section.pop(stale, None)
+    section["compute_dtype"] = "float32"
+    section.update(rows)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2, default=str)
     print("wrote", out_path)

@@ -44,12 +44,14 @@ def stage_dir(name):
     return os.path.abspath(os.path.join(LOG_ROOT, name))
 
 
-def train_stage(name, height, width, steps_scale=1, augment=False):
+def train_stage(name, height, width, steps_scale=1, augment=False,
+                motion="default", steps_override=None):
     from flownet2_tf_tpu.data.loader import BatchLoader, SyntheticFlowDataset
     from flownet2_tf_tpu.training.loop import TrainConfig, Trainer
 
     model, steps, warms = STAGES[name]
-    steps = steps * steps_scale
+    steps = (steps_override if steps_override is not None
+             else steps * steps_scale)
     if name == "s":
         height, width = 320, 448
     log_dir = stage_dir(name)
@@ -97,7 +99,7 @@ def train_stage(name, height, width, steps_scale=1, augment=False):
     # uint8 images: what real datasets are, and 4x less per-step
     # host->device transfer through the axon relay
     ds = SyntheticFlowDataset(size=256, height=src_h, width=src_w, seed=7,
-                              cache=True, uint8_images=True)
+                              cache=True, uint8_images=True, motion=motion)
     loader = BatchLoader(ds, batch_size=8, shuffle=True, num_workers=1)
 
     warm = {}
@@ -120,26 +122,44 @@ def main():
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--steps_scale", type=int, default=1,
                         help="multiply every stage's step budget")
+    parser.add_argument("--steps", default="",
+                        help="per-stage absolute step overrides, e.g. "
+                             "'c=2400,2=1600' (resuming runs continue "
+                             "from their checkpoint to the new total)")
     parser.add_argument("--augment", action="store_true",
                         help="full Chairs augmentation at the crop "
                              "(source frames rendered crop+64)")
+    parser.add_argument("--motion", default="default",
+                        choices=["default", "large", "subpixel", "mixed"],
+                        help="synthetic displacement regime (the fusion "
+                             "study trains on 'mixed')")
     args = parser.parse_args()
 
+    from flownet2_tf_tpu.tools.arbiter import tpu_lock
     from flownet2_tf_tpu.tools.benchlib import enable_compilation_cache
 
     enable_compilation_cache()
+    overrides = {}
+    for kv in args.steps.split(","):
+        if kv.strip():
+            k, v = kv.split("=")
+            overrides[k.strip()] = int(v)
     os.makedirs(LOG_ROOT, exist_ok=True)
     timings = {}
-    for name in args.stages.split(","):
-        name = name.strip()
-        if not name:
-            continue
-        timings[name] = train_stage(
-            name, args.height, args.width,
-            steps_scale=args.steps_scale, augment=args.augment,
-        )
-    with open(os.path.join(LOG_ROOT, "timings.json"), "w") as f:
-        json.dump(timings, f, indent=2)
+    with tpu_lock(label="curriculum_train"):
+        for name in args.stages.split(","):
+            name = name.strip()
+            if not name:
+                continue
+            timings[name] = train_stage(
+                name, args.height, args.width,
+                steps_scale=args.steps_scale, augment=args.augment,
+                motion=args.motion, steps_override=overrides.get(name),
+            )
+            # persist per stage: a later stage dying must not lose the
+            # earlier stages' wall-clock record (VERDICT r4 #5)
+            with open(os.path.join(LOG_ROOT, "timings.json"), "w") as f:
+                json.dump(timings, f, indent=2)
     print("done:", json.dumps(timings))
 
 

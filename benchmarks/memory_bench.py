@@ -142,8 +142,10 @@ def merge_rows(rows):
     except FileNotFoundError:
         results = {}
     results.setdefault("train_memory", {}).update(rows)
+    # indent=2 matches every other writer of results.json (ADVICE r4:
+    # a lone indent=1 writer churned the whole file's formatting)
     with open(RESULTS, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(results, f, indent=2)
 
 
 def main():
@@ -156,32 +158,46 @@ def main():
     ap.add_argument("--big", action="store_true",
                     help="also measure 448x1024 b8 and 320x448 b32 "
                          "(the regimes where remat/grad_accum matter)")
+    ap.add_argument("--configs", default="",
+                    help="explicit HxWxB list (e.g. '448x1024x8'), "
+                         "overriding --big: the r4 all-in-one run blew "
+                         "its timeout, so the r5 chain splits the sweep "
+                         "into per-config invocations that each fit a "
+                         "budget (VERDICT r4 #3/#5)")
+    ap.add_argument("--variants", default="",
+                    help="subset of base,remat,ga2,ga4,remat_ga4")
     args = ap.parse_args()
 
+    from flownet2_tf_tpu.tools.arbiter import tpu_lock
     from flownet2_tf_tpu.tools.benchlib import enable_compilation_cache
 
     enable_compilation_cache()
 
+    all_variants = {
+        "base": {"remat": False, "grad_accum": 1},
+        "remat": {"remat": True, "grad_accum": 1},
+        "ga2": {"remat": False, "grad_accum": 2},
+        "ga4": {"remat": False, "grad_accum": 4},
+        "remat_ga4": {"remat": True, "grad_accum": 4},
+    }
     if args.smoke:
         configs = [(64, 64, 4)]
-        variants = [
-            {"remat": False, "grad_accum": 1},
-            {"remat": True, "grad_accum": 1},
-            {"remat": False, "grad_accum": 2},
-        ]
+        variants = [all_variants[k] for k in ("base", "remat", "ga2")]
     else:
-        configs = [(320, 448, 8)]  # the reference training crop
-        if args.big:
-            # regimes where the levers should matter (VERDICT r3 #3):
-            # a Sintel-scale crop and a 4x batch at the reference crop
-            configs += [(448, 1024, 8), (320, 448, 32)]
-        variants = [
-            {"remat": False, "grad_accum": 1},
-            {"remat": True, "grad_accum": 1},
-            {"remat": False, "grad_accum": 2},
-            {"remat": False, "grad_accum": 4},
-            {"remat": True, "grad_accum": 4},
-        ]
+        if args.configs:
+            configs = []
+            for spec in args.configs.split(","):
+                h, w, b = (int(x) for x in spec.lower().split("x"))
+                configs.append((h, w, b))
+        else:
+            configs = [(320, 448, 8)]  # the reference training crop
+            if args.big:
+                # regimes where the levers should matter (VERDICT r3
+                # #3): a Sintel-scale crop and a 4x batch at the crop
+                configs += [(448, 1024, 8), (320, 448, 32)]
+        keys = ([k.strip() for k in args.variants.split(",") if k.strip()]
+                or ["base", "remat", "ga2", "ga4", "remat_ga4"])
+        variants = [all_variants[k] for k in keys]
 
     # leave scheduler headroom under the v5e 16 GiB budget when deciding
     # whether a variant is safe to RUN (compile-time analysis is always
@@ -189,38 +205,40 @@ def main():
     run_budget_gib = 14.0
 
     rows = {}
-    for model in args.models.split(","):
-        for height, width, batch in configs:
-            for v in variants:
-                tag = f"{model}_{height}x{width}_b{batch}"
-                if v["remat"]:
-                    tag += "_remat"
-                if v["grad_accum"] > 1:
-                    tag += f"_ga{v['grad_accum']}"
-                step_fn, state, device_batch, key = build_step(
-                    model, height, width, batch, v["remat"],
-                    v["grad_accum"])
-                t0 = time.time()
-                compiled, mem = analyze(step_fn, state, device_batch, key)
-                mem["compile_s"] = round(time.time() - t0, 1)
-                mem.update(v)
-                if args.time:
-                    total_gib = (mem.get("temp_gib", 0)
-                                 + mem.get("argument_gib", 0)
-                                 + mem.get("output_gib", 0))
-                    if total_gib > run_budget_gib:
-                        mem["ms_per_step"] = None
-                        mem["run_skipped"] = (
-                            f"{total_gib:.1f} GiB > {run_budget_gib} "
-                            "GiB run budget"
-                        )
-                    else:
-                        mem["ms_per_step"] = round(chained_step_ms(
-                            step_fn, state, device_batch, key), 1)
-                rows[tag] = mem
-                print(json.dumps({tag: mem}), flush=True)
-                if not args.smoke:
-                    merge_rows({tag: mem})
+    with tpu_lock(label="memory_bench"):
+        for model in args.models.split(","):
+            for height, width, batch in configs:
+                for v in variants:
+                    tag = f"{model}_{height}x{width}_b{batch}"
+                    if v["remat"]:
+                        tag += "_remat"
+                    if v["grad_accum"] > 1:
+                        tag += f"_ga{v['grad_accum']}"
+                    step_fn, state, device_batch, key = build_step(
+                        model, height, width, batch, v["remat"],
+                        v["grad_accum"])
+                    t0 = time.time()
+                    compiled, mem = analyze(step_fn, state, device_batch,
+                                            key)
+                    mem["compile_s"] = round(time.time() - t0, 1)
+                    mem.update(v)
+                    if args.time:
+                        total_gib = (mem.get("temp_gib", 0)
+                                     + mem.get("argument_gib", 0)
+                                     + mem.get("output_gib", 0))
+                        if total_gib > run_budget_gib:
+                            mem["ms_per_step"] = None
+                            mem["run_skipped"] = (
+                                f"{total_gib:.1f} GiB > {run_budget_gib} "
+                                "GiB run budget"
+                            )
+                        else:
+                            mem["ms_per_step"] = round(chained_step_ms(
+                                step_fn, state, device_batch, key), 1)
+                    rows[tag] = mem
+                    print(json.dumps({tag: mem}), flush=True)
+                    if not args.smoke:
+                        merge_rows({tag: mem})
 
     if args.smoke:
         print("smoke run: results.json NOT updated (toy shapes, CPU)")

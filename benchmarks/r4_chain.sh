@@ -10,7 +10,10 @@ export FLOWNET2_CURRICULUM_NAME=r4_curriculum_320x448
 export FLOWNET2_AB_EVAL_HW=320x448
 
 echo "=== [1/6] unroll_ab (VERDICT #2) $(date -u +%H:%M:%S) ==="
-timeout 2400 python benchmarks/unroll_ab.py || echo "unroll_ab FAILED ($?)"
+# 14400s: worst case is 8 variants x 2 x 900s child attempts (ADVICE
+# r4 — the old 2400s could kill a sweep mid-flight on a slow relay
+# day). Historical script; r5_chain.sh supersedes it.
+timeout 14400 python benchmarks/unroll_ab.py || echo "unroll_ab FAILED ($?)"
 
 echo "=== [2/6] memory_bench --big --time (VERDICT #3) $(date -u +%H:%M:%S) ==="
 timeout 5400 python benchmarks/memory_bench.py --big --time --models css,2 \

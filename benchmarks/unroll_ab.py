@@ -75,9 +75,13 @@ def main():
 
     def merge(rows):
         # per-batch incremental merge so a hung later point cannot lose
-        # the earlier measurements (the r4 b4 hang cost the whole row)
-        with open(out_path) as f:
-            results = json.load(f)
+        # the earlier measurements (the r4 b4 hang cost the whole row);
+        # tolerate a fresh checkout with no results.json yet (ADVICE r4)
+        try:
+            with open(out_path) as f:
+                results = json.load(f)
+        except FileNotFoundError:
+            results = {}
         results.setdefault("unroll_ab", {}).update(rows)
         with open(out_path, "w") as f:
             json.dump(results, f, indent=2, default=str)

@@ -42,12 +42,28 @@ class SyntheticFlowDataset:
     """
 
     def __init__(self, size=1024, height=64, width=64, seed=0,
-                 max_flow=5.0, cache=False, uint8_images=False):
+                 max_flow=5.0, cache=False, uint8_images=False,
+                 motion="default"):
         self.size = int(size)
         self.height = int(height)
         self.width = int(width)
         self.seed = int(seed)
         self.max_flow = float(max_flow)
+        # motion regime (VERDICT r4 #2 — the fusion study needs a
+        # displacement mix the default distribution does not have):
+        #   'default'  — translation ~ U(-max_flow, max_flow) (legacy;
+        #                tests/goldens pin this distribution)
+        #   'large'    — |translation| in [10, 40] px: the regime the
+        #                CSS branch (correlation, +-160 px at full res)
+        #                exists for and FlowNetSD's all-3x3 receptive
+        #                field cannot reach
+        #   'subpixel' — |translation| <= 0.9 px, tiny rotation/zoom:
+        #                the small-displacement regime FlowNetSD was
+        #                added for (FlowNet2 paper §4)
+        #   'mixed'    — even indices large, odd indices subpixel
+        if motion not in ("default", "large", "subpixel", "mixed"):
+            raise ValueError(f"unknown motion regime {motion!r}")
+        self.motion = motion
         # uint8_images: quantize rendered images to 8-bit — what real
         # datasets are (Chairs/Sintel PPM/PNG are 8-bit; the trainer's
         # _images_to_float handles either), and 4x less host->device
@@ -81,9 +97,26 @@ class SyntheticFlowDataset:
         img_a = _bilinear_upsample(small, h, w)
 
         # affine flow field: f(p) = M p + t, small coefficients
-        ang = rng.uniform(-0.05, 0.05)
-        scale = rng.uniform(-0.03, 0.03)
-        tx, ty = rng.uniform(-self.max_flow, self.max_flow, 2)
+        regime = self.motion
+        if regime == "mixed":
+            regime = "large" if idx % 2 == 0 else "subpixel"
+        if regime == "large":
+            # large translation, but keep the rotation/zoom coefficients
+            # small: _backward_resample inverts the field with one
+            # fixed-point step, which is exact for pure translation and
+            # O(coef^2 * |p|) for the linear part — the GT stays honest
+            ang = rng.uniform(-0.02, 0.02)
+            scale = rng.uniform(-0.02, 0.02)
+            mag = rng.uniform(10.0, 40.0, 2)
+            tx, ty = mag * rng.choice([-1.0, 1.0], 2)
+        elif regime == "subpixel":
+            ang = rng.uniform(-0.002, 0.002)
+            scale = rng.uniform(-0.002, 0.002)
+            tx, ty = rng.uniform(-0.9, 0.9, 2)
+        else:
+            ang = rng.uniform(-0.05, 0.05)
+            scale = rng.uniform(-0.03, 0.03)
+            tx, ty = rng.uniform(-self.max_flow, self.max_flow, 2)
         ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
         cx, cy = (w - 1) / 2, (h - 1) / 2
         u = (np.cos(ang) * (1 + scale) - 1) * (xs - cx) - np.sin(ang) * (
@@ -95,10 +128,30 @@ class SyntheticFlowDataset:
         flow = np.stack([u, v], axis=-1).astype(np.float32)
 
         # B such that warping B backward by flow reproduces A:
-        # B(p + f(p)) = A(p)  =>  B(q) = A(finv(q)); build by forward
-        # resampling A at the inverse map (approximate with -flow for the
-        # small fields used here, then refine one fixed-point step).
-        img_b = _backward_resample(img_a, -flow)
+        # B(p + f(p)) = A(p)  =>  B(q) = A(finv(q)).
+        if regime in ("large", "subpixel"):
+            # the field is affine — invert it EXACTLY:
+            # q = c + L (p - c) + t  =>  p = c + L^-1 (q - c - t).
+            # The 'default' path below keeps its first-order inverse
+            # byte-identical (frozen-seed tests and the r3/r4 trained
+            # checkpoints pin that rendering); at 40 px translations
+            # the first-order error reaches ~0.9 px of sampling offset,
+            # which would be label noise on the fusion study's GT.
+            ca, sa = np.cos(ang), np.sin(ang)
+            L = np.array([[ca * (1 + scale), -sa],
+                          [sa, ca * (1 + scale)]], np.float64)
+            li = np.linalg.inv(L)
+            dqx = xs - cx - tx
+            dqy = ys - cy - ty
+            px = cx + li[0, 0] * dqx + li[0, 1] * dqy
+            py = cy + li[1, 0] * dqx + li[1, 1] * dqy
+            inv_disp = np.stack([px - xs, py - ys], axis=-1).astype(
+                np.float32)
+            img_b = _backward_resample(img_a, inv_disp)
+        else:
+            # first-order inverse (exact for pure translation): for the
+            # small default fields the residual is negligible
+            img_b = _backward_resample(img_a, -flow)
         if self.uint8_images:
             img_a = (np.clip(img_a, 0.0, 1.0) * 255.0 + 0.5).astype(
                 np.uint8

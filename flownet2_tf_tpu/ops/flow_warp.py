@@ -112,8 +112,11 @@ def stack_warp_res() -> int:
     full resolution. k>1 is an APPROXIMATION: the warped image loses
     high frequencies (the stage flows themselves are upsampled
     quarter-res fields, so the flow input is less affected). Default
-    k=1; the serving preset uses k=2 (measured +0.006 px AEE for 1.55x
-    — docs/DESIGN.md); k=4 per benchmarks/warp_res_ab.py.
+    k=1; the serving preset uses k=2 for a ~1.5x speedup at a measured
+    AEE delta within +-0.011 px across curricula (r3 192x256 weights:
+    +0.006 to +0.011 px; r4 320x448 weights: -0.010 px, k=2 slightly
+    BETTER — docs/DESIGN.md, results.json::{halfres_warp,warp_res_ab});
+    k=4 measured and rejected per benchmarks/warp_res_ab.py.
 
     Resolution order: ``dispatch.use_warp_res`` override >
     ``dispatch.use_half_res_warp`` override > ``FLOWNET2_TPU_WARP_RES``

@@ -110,6 +110,43 @@ def test_synthetic_dataset_flow_consistency():
     assert err < 0.02, err
 
 
+def test_synthetic_dataset_motion_regimes():
+    """The fusion-study regimes (VERDICT r4 #2): 'large' translations
+    land in [10, 40] px, 'subpixel' under ~1.5 px, 'mixed' alternates,
+    and the exact affine inversion keeps GT consistent even at 40 px
+    (flow_warp(B, flow) ~= A in the interior)."""
+    h = w = 160
+    for motion, lo, hi in (("large", 10.0, 65.0), ("subpixel", 0.0, 2.0)):
+        ds = SyntheticFlowDataset(size=4, height=h, width=w, seed=11,
+                                  motion=motion)
+        for i in range(4):
+            item = ds[i]
+            mag = float(np.abs(item["flow"]).max())
+            assert lo <= mag <= hi, (motion, i, mag)
+            warped = np.asarray(
+                flow_warp(item["image_b"][None], item["flow"][None])
+            )[0]
+            m = 48  # interior margin > max |flow|
+            err = np.abs(warped[m:-m, m:-m]
+                         - item["image_a"][m:-m, m:-m]).mean()
+            assert err < 0.012, (motion, i, err)
+    mixed = SyntheticFlowDataset(size=4, height=h, width=w, seed=11,
+                                 motion="mixed")
+    assert np.abs(mixed[0]["flow"]).max() >= 10.0  # even idx: large
+    assert np.abs(mixed[1]["flow"]).max() <= 2.0  # odd idx: subpixel
+
+    # 'default' rendering is pinned byte-for-byte by trained
+    # checkpoints/goldens: the regime plumbing must not perturb it
+    d1 = SyntheticFlowDataset(size=2, height=32, width=32, seed=5)[1]
+    d2 = SyntheticFlowDataset(size=2, height=32, width=32, seed=5,
+                              motion="default")[1]
+    np.testing.assert_array_equal(d1["image_b"], d2["image_b"])
+    np.testing.assert_array_equal(d1["flow"], d2["flow"])
+
+    with pytest.raises(ValueError):
+        SyntheticFlowDataset(motion="huge")
+
+
 def test_synthetic_dataset_deterministic():
     ds = SyntheticFlowDataset(size=4, height=32, width=32, seed=1)
     a1 = ds[0]

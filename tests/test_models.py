@@ -164,6 +164,10 @@ def test_deconv_phase_matches_dilated(rng, monkeypatch):
         "biases": jnp.asarray(rng.randn(co).astype(np.float32)),
     }
     for act in (False, True):
+        # pin the baseline impl BEFORE computing `want` (ADVICE r4): if
+        # the suite runs under FLOWNET2_TPU_DECONV=phase, an unpinned
+        # `want` would compare phase against phase — vacuous
+        monkeypatch.setattr(common, "_DECONV_IMPL", "dilated")
         want = common.deconv(p, x, act=act)
         monkeypatch.setattr(common, "_DECONV_IMPL", "phase")
         got = common.deconv(p, x, act=act)

@@ -114,7 +114,8 @@ def test_bench_warp_mode_honors_env_knobs(monkeypatch):
 
     seen = {}
 
-    def fake_measure(model, h, w, b, iters, cd, repeats, warp_mode):
+    def fake_measure(model, h, w, b, iters, cd, repeats, warp_mode,
+                     validate):
         seen["warp_mode"] = warp_mode
         seen["k"] = stack_warp_res()
         return {"value": 1.0}
