@@ -31,7 +31,9 @@ import jax.numpy as jnp
 
 from flownet2_tf_tpu.models import common, flownet_c, flownet_s, flownet_sd
 from flownet2_tf_tpu.models.base import FLOW_SCALE, multiscale_loss
+from flownet2_tf_tpu.ops import dispatch
 from flownet2_tf_tpu.ops.flow_warp import (
+    _pool2,
     stack_warp,
     stack_warp_multi,
     stack_warp_multi_s2d_enc,
@@ -318,6 +320,63 @@ def init_flownet2(key, dtype=jnp.float32):
     return params
 
 
+def _fusion_input_halfres(input_a, input_b, preds_css, preds_sd, dt):
+    """Half-resolution fusion input assembly (fusion_res=2 preset).
+
+    Everything is built directly at in_h/2 x in_w/2; no full-res
+    11-channel concat, full-res branch flow, warp or error field ever
+    materializes:
+
+    * images: exact 2x2 area pool (ops/flow_warp._pool2 — shares its
+      lowering knob with the coarse-warp pool),
+    * branch flows: ``resize2x(predict_flow2 * 20)`` — exactly the
+      half-res form of each stage's full-res flow (dyadic TF1 resizes
+      compose, see _stage_flow_s2d), flow VALUES stay in full-res px,
+    * warps: one shared packed gather per sample at half resolution
+      (displacement = u/2 in half-grid units), pinned to exact k=1 so
+      the coarse-warp serving knob cannot double-pool it,
+    * brightness errors / magnitudes: channel norms on the half grid.
+
+    Known approximation beyond the octave loss: the pooled image grid
+    sits at full-res 2j+0.5 while the resize-convention flow grid sits
+    at 2j — a fixed quarter-pixel registration offset, second-order in
+    the field smoothness. The measured AEE delta on trained weights
+    (benchmarks/fusion_res_ab.py) is the adoption criterion.
+    """
+    n, h, w, _ = input_a.shape
+    hh, hw = h // 2, w // 2
+    a_h = _pool2(input_a)
+    b_h = _pool2(input_b)
+    f_css = resize_bilinear_tf1(
+        preds_css["predict_flow2"] * 20.0, hh, hw
+    )
+    f_sd = resize_bilinear_tf1(preds_sd["predict_flow2"] * 20.0, hh, hw)
+    with dispatch.use_warp_res(1):
+        warped_css, warped_sd = _double_warp_batched(
+            stack_warp_multi, b_h, f_css * 0.5, f_sd * 0.5
+        )
+
+    def feats(warped, flow):
+        err = common.channel_norm(a_h - warped.astype(a_h.dtype))
+        mag = common.channel_norm(flow)
+        return err, mag
+
+    err_css, mag_css = feats(warped_css, f_css)
+    err_sd, mag_sd = feats(warped_sd, f_sd)
+    return jnp.concatenate(
+        [
+            a_h.astype(dt),
+            (f_css * FLOW_SCALE).astype(dt),
+            (f_sd * FLOW_SCALE).astype(dt),
+            mag_css.astype(dt),
+            mag_sd.astype(dt),
+            err_css.astype(dt),
+            err_sd.astype(dt),
+        ],
+        axis=-1,
+    )
+
+
 def apply_flownet2(params, inputs, training: bool = False,
                    compute_dtype=None):
     input_a = inputs["input_a"]
@@ -343,7 +402,18 @@ def apply_flownet2(params, inputs, training: bool = False,
     fuse_conv0_s2d = None
     fusion = FUSION
     dt = cd if cd is not None else input_a.dtype
-    if common.s2d_heads():
+    if dispatch.get_fusion_res() == 2:
+        # serving approximation (dispatch.get_fusion_res docstring):
+        # the whole fusion pyramid runs on a half-resolution input
+        # assembly; predict_flow0 comes out at in_h/2 and the final
+        # resize below brings it back to full resolution. The branch
+        # flows are quarter-res fields anyway (resize2x of
+        # predict_flow2 * 20 IS their half-res form, by the dyadic
+        # composition argument in _stage_flow_s2d) — only the image
+        # evidence and brightness errors lose an octave.
+        x = _fusion_input_halfres(input_a, input_b, preds_css, preds_sd,
+                                  dt)
+    elif common.s2d_heads():
         # S2D fusion assembly (r3): the warp gathers emit phase-major
         # records, the per-branch error/magnitude norms run per phase,
         # the branch flows arrive S2D-encoded analytically

@@ -208,6 +208,52 @@ def use_warp_res(k):
         _state.warp_res = prev
 
 
+_FUSION_RES_VALID = (1, 2)
+
+
+def get_fusion_res() -> int:
+    """Resolution factor for the FlowNet2 FUSION network: 1 (exact,
+    default) or 2 (serving approximation — the whole fusion pyramid
+    runs on a half-resolution input assembly and only the final flow is
+    resized back up).
+
+    Rationale (VERDICT r4 #4 "change WHAT is computed"): the fusion
+    net's level-0 chain and input assembly run at full 448x1024 with
+    2-16 output channels — lane-starved shapes the MXU cannot tile
+    efficiently, a fixed per-pair cost that batching never amortizes
+    (op ledger: fusion-attributed convs are flat b1 vs b8 per pair).
+    Halving the grid quarters that work. Branch flows are quarter-res
+    fields upsampled anyway, so the flow inputs lose nothing; the
+    brightness errors and image evidence lose one octave. The measured
+    AEE cost on trained weights is the adoption criterion
+    (benchmarks/fusion_res_ab.py)."""
+    k = getattr(_state, "fusion_res", None)
+    if k is None:
+        k = int(os.environ.get("FLOWNET2_TPU_FUSION_RES", "1"))
+    if k not in _FUSION_RES_VALID:
+        raise ValueError(
+            f"fusion_res must be one of {_FUSION_RES_VALID}, got {k!r}"
+        )
+    return int(k)
+
+
+@contextlib.contextmanager
+def use_fusion_res(k):
+    """Force the fusion-net grid factor (1 = exact, 2 = half; None =
+    env default) for model traces on this thread."""
+    if k is not None and k not in _FUSION_RES_VALID:
+        raise ValueError(
+            f"fusion_res must be one of {_FUSION_RES_VALID} or None, "
+            f"got {k!r}"
+        )
+    prev = getattr(_state, "fusion_res", None)
+    _state.fusion_res = k
+    try:
+        yield
+    finally:
+        _state.fusion_res = prev
+
+
 _WARP_SRC_VALID = ("float32", "bfloat16")
 
 
@@ -285,6 +331,7 @@ def trace_signature() -> tuple:
         stack_warp_res(),
         get_bf16_interconv(),
         get_warp_source_dtype(),
+        get_fusion_res(),
     )
 
 

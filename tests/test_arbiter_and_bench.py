@@ -125,6 +125,7 @@ def test_arbiter_run_subcommand_serializes(tmp_path):
 
 # ------------------------------------------------------------ bench gates
 
+@pytest.mark.quick
 def test_check_samples_accepts_clean_measurement():
     from flownet2_tf_tpu.tools.bench import check_samples
 
@@ -135,6 +136,7 @@ def test_check_samples_accepts_clean_measurement():
     assert spread < 0.03
 
 
+@pytest.mark.quick
 def test_check_samples_rejects_below_floor():
     """The exact r4 failure: 3.147 ms/pair published against a 2.92 ms
     conv floor with 7+ ms of measured non-conv work — must be refused."""
@@ -144,6 +146,7 @@ def test_check_samples_rejects_below_floor():
     assert reason is not None and "floor" in reason
 
 
+@pytest.mark.quick
 def test_check_samples_rejects_high_spread():
     from flownet2_tf_tpu.tools.bench import check_samples
 
@@ -153,6 +156,7 @@ def test_check_samples_rejects_high_spread():
     assert reason is not None and "spread" in reason
 
 
+@pytest.mark.quick
 def test_check_samples_no_floor_no_gate():
     """CPU/unknown backends have no peak table: only the spread gate."""
     from flownet2_tf_tpu.tools.bench import check_samples
@@ -176,6 +180,7 @@ def test_run_bench_publishes_spread_and_warp_mode():
 
 # -------------------------------------------------------------- manifest
 
+@pytest.mark.quick
 def test_manifest_lookup_paths_and_wildcards(tmp_path, monkeypatch):
     sys.path.insert(0, os.path.join(REPO, "benchmarks"))
     try:

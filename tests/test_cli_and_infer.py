@@ -78,6 +78,7 @@ def test_infer_respects_dispatch_context_after_caching(rng):
     np.testing.assert_array_equal(full, full2)
 
 
+@pytest.mark.quick
 def test_cli_test_subcommand(tmp_path, rng, capsys):
     pa, pb = _write_ppm_pair(tmp_path, rng)
     ckpt = _save_random_ckpt(tmp_path)
@@ -145,6 +146,7 @@ def test_eval_shape_bucketing_bounds_compiles(rng):
     assert traces <= 2, traces
 
 
+@pytest.mark.quick
 def test_cli_info_param_counts(capsys):
     """`info` reports per-scope parameter counts; totals pin the
     published model sizes (FlowNet2 ~160M params, FlowNetS ~38M)."""

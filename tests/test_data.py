@@ -17,6 +17,10 @@ from flownet2_tf_tpu.data.loader import (
 )
 from flownet2_tf_tpu.ops.flow_warp import flow_warp
 
+# quick tier (VERDICT r4 #8): kernel-parity/IO modules cheap enough to
+# run on every change — `pytest -m quick` stays under 3 minutes on CPU
+pytestmark = pytest.mark.quick
+
 
 # ---------------------------------------------------------------------------
 # TFRecord codec

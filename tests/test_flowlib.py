@@ -3,6 +3,10 @@ import pytest
 
 from flownet2_tf_tpu.utils import flowlib
 
+# quick tier (VERDICT r4 #8): kernel-parity/IO modules cheap enough to
+# run on every change — `pytest -m quick` stays under 3 minutes on CPU
+pytestmark = pytest.mark.quick
+
 
 def test_flo_roundtrip(tmp_path, rng):
     flow = rng.randn(48, 64, 2).astype(np.float32) * 10

@@ -75,6 +75,36 @@ def test_flownet_s_param_names():
     assert params["predict_flow2"]["weights"].shape == (3, 3, 194, 2)
 
 
+def test_flownet2_fusion_res_halfres_preset(rng):
+    """dispatch.use_fusion_res(2) (VERDICT r4 #4 serving lever): the
+    fusion pyramid runs at half resolution — predict_flow0 comes out at
+    h/2 — while the final flow keeps full resolution; the knob is part
+    of trace_signature so jit caches cannot mix the configs."""
+    from flownet2_tf_tpu.ops import dispatch
+
+    m = get_model("2")
+    params = m.init(jax.random.PRNGKey(0))
+    a = jnp.asarray(rng.rand(1, 64, 128, 3).astype(np.float32))
+    b = jnp.asarray(rng.rand(1, 64, 128, 3).astype(np.float32))
+    inputs = {"input_a": a, "input_b": b}
+
+    full = m.apply(params, inputs)
+    with dispatch.use_fusion_res(2):
+        half = m.apply(params, inputs)
+        sig_half = dispatch.trace_signature()
+    assert half["flow"].shape == full["flow"].shape == (1, 64, 128, 2)
+    assert half["predict_flow0"].shape == (1, 32, 64, 2)
+    assert full["predict_flow0"].shape == (1, 64, 128, 2)
+    assert np.isfinite(np.asarray(half["flow"])).all()
+    # a different program, and the signature says so
+    assert np.abs(np.asarray(half["flow"])
+                  - np.asarray(full["flow"])).max() > 0
+    assert dispatch.trace_signature() != sig_half
+
+    with pytest.raises(ValueError):
+        dispatch.use_fusion_res(3).__enter__()
+
+
 def test_flownet2_param_scoping():
     """Nested pytree mirrors FlowNet2/FlowNetCSS/FlowNetCS/FlowNetC/..."""
     model = get_model("2")

@@ -16,6 +16,10 @@ from flownet2_tf_tpu.ops import (
 )
 from flownet2_tf_tpu.ops.correlation import correlation_output_shape
 
+# quick tier (VERDICT r4 #8): kernel-parity/IO modules cheap enough to
+# run on every change — `pytest -m quick` stays under 3 minutes on CPU
+pytestmark = pytest.mark.quick
+
 
 # ---------------------------------------------------------------------------
 # NumPy reference implementations (deliberately naive & loopy)

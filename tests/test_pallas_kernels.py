@@ -14,6 +14,10 @@ from flownet2_tf_tpu.ops.pallas.correlation_kernel import (
     pallas_correlation_supported,
 )
 
+# quick tier (VERDICT r4 #8): kernel-parity/IO modules cheap enough to
+# run on every change — `pytest -m quick` stays under 3 minutes on CPU
+pytestmark = pytest.mark.quick
+
 
 def _pallas_interp():
     return pltpu.force_tpu_interpret_mode()

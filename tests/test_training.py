@@ -25,6 +25,7 @@ SMOKE_SCHEDULE = {
 }
 
 
+@pytest.mark.quick
 def test_lr_schedule_piecewise_constant():
     lr = make_lr_schedule(LONG_SCHEDULE)
     assert float(lr(0)) == pytest.approx(1e-4)
@@ -34,6 +35,7 @@ def test_lr_schedule_piecewise_constant():
     assert float(lr(1_000_000)) == pytest.approx(6.25e-6, rel=1e-5)
 
 
+@pytest.mark.quick
 def test_fine_schedule_decays_within_run():
     """S_fine is run-relative here (the reference counts global steps
     continuing from the warm start): 1e-5 halved at +200k/+300k/+400k.
