@@ -47,11 +47,34 @@ def _short_src(source):
     return f"{rel}:{line}" if line else rel
 
 
+def _scope_path(tf_op, depth=4):
+    """Layer path from the op's jaxpr/name-stack string (r5 ledger:
+    per-LAYER attribution via the models' jax.named_scope calls).
+
+    ``tf_op`` looks like ``jit(chained)/while/body/FlowNet2‐like/
+    FlowNetCSS/FlowNetCS/FlowNetC/conv3/conv_general_dilated`` — strip
+    the jit/scan wrappers and the trailing primitive, keep the first
+    ``depth`` scope components. Ops with no model scope (input copies,
+    bench-harness arithmetic) land under '(unscoped)'."""
+    if not tf_op:
+        return "(unscoped)"
+    parts = [p for p in tf_op.split("/")
+             if p and not p.startswith(("jit(", "while", "body", "cond",
+                                        "scan", "transpose(", "named("))]
+    # the final component is the primitive (conv_general_dilated, ...)
+    if parts:
+        parts = parts[:-1]
+    if not parts:
+        return "(unscoped)"
+    return "/".join(parts[:depth])
+
+
 def ledger(xplane_path: str, iters: int, batch: int = 1):
     """Aggregate the trace's sync XLA ops. Returns a JSON-able dict:
 
     - ``by_category``: ms/iter per XLA hlo_category
     - ``by_file``: ms/iter per repo source file (+ (xla-internal))
+    - ``by_scope``: ms/iter per model layer path (jax.named_scope)
     - ``top_sources``: largest (source_line, category) cells
     - ``top_ops``: largest individual (deduplicated) ops
     - ``conv_ms`` / ``non_conv_ms``: the headline split
@@ -93,12 +116,20 @@ def ledger(xplane_path: str, iters: int, batch: int = 1):
     by_cat_bytes = defaultdict(float)
     by_file = defaultdict(float)
     by_src = defaultdict(float)
+    by_scope = defaultdict(float)
+    by_scope_floor = defaultdict(float)
     total = flops = nbytes = 0.0
     for o in sync_ops:
         ms = o["ms"] / iters
         total += ms
         cat = o["category"] or "(uncategorized)"
         by_cat[cat] += ms
+        scope = _scope_path(o.get("tf_op"))
+        by_scope[scope] += ms
+        if peak_flops:
+            by_scope_floor[scope] += (
+                o["flops"] * (o["count"] / iters) / peak_flops * 1e3
+            )
         # flops/bytes stats are PER EXECUTION (static metadata, unlike
         # ms which sums occurrences): scale by how often the op ran
         execs_per_iter = o["count"] / iters
@@ -144,6 +175,15 @@ def ledger(xplane_path: str, iters: int, batch: int = 1):
         "by_file": {
             f: round(ms, 3)
             for f, ms in sorted(by_file.items(), key=lambda kv: -kv[1])
+        },
+        # per-layer table: measured ms vs that layer's own FLOPs floor
+        # — the ratio says which layers are far from roofline (the
+        # serving-attack targeting data, VERDICT r4 #4)
+        "by_scope": {
+            s: {"ms": round(ms, 3),
+                **({"flops_floor_ms": round(by_scope_floor[s], 3)}
+                   if peak_flops else {})}
+            for s, ms in sorted(by_scope.items(), key=lambda kv: -kv[1])
         },
         "top_sources": [
             {"source": s, "category": c, "ms": round(ms, 3)}
@@ -218,6 +258,11 @@ def main():
     print("-- by source file:")
     for f, ms in row["by_file"].items():
         print(f"   {ms:7.2f}  {f}")
+    print("-- by layer scope (ms vs own FLOPs floor):")
+    for s, cell in row["by_scope"].items():
+        floor = cell.get("flops_floor_ms")
+        extra = f"  (floor {floor:6.2f})" if floor is not None else ""
+        print(f"   {cell['ms']:7.2f}{extra}  {s}")
     print(f"-- top {args.top} source cells:")
     for cell in row["top_sources"][: args.top]:
         print(f"   {cell['ms']:7.2f}  {cell['category']:<24}"

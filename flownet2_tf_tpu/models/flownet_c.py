@@ -93,24 +93,31 @@ def apply(params, inputs, training: bool = False, compute_dtype=None):
     # instead of two sequential tower evaluations)
     x = jnp.concatenate([a, b], axis=0)
     feats_a, feats_b = {}, {}
+    # named_scope per layer: per-layer profiler attribution
+    # (flownet_s.apply comment; op_ledger by_scope)
     for name, _, stride, _ in TOWER:
-        if name == "conv1" and common.use_s2d_head7(x.shape[-1]):
-            # space-to-depth head (3-ch towers take the plain conv:
-            # models/common.py S2D flags)
-            x = common.conv7x7s2_s2d(params[name], x, compute_dtype=cd)
-        else:
-            x = common.conv(params[name], x, stride=stride,
-                            compute_dtype=cd)
+        with jax.named_scope(f"tower_{name}"):
+            if name == "conv1" and common.use_s2d_head7(x.shape[-1]):
+                # space-to-depth head (3-ch towers take the plain conv:
+                # models/common.py S2D flags)
+                x = common.conv7x7s2_s2d(params[name], x, compute_dtype=cd)
+            else:
+                x = common.conv(params[name], x, stride=stride,
+                                compute_dtype=cd)
         feats_a[name], feats_b[name] = jnp.split(x, 2, axis=0)
 
-    cc = correlation(feats_a["conv3"], feats_b["conv3"], **CORR_KWARGS)
-    cc = common.leaky_relu(cc)
-    redir = common.conv(params["conv_redir"], feats_a["conv3"],
-                        compute_dtype=cd)
+    with jax.named_scope("correlation"):
+        cc = correlation(feats_a["conv3"], feats_b["conv3"], **CORR_KWARGS)
+        cc = common.leaky_relu(cc)
+    with jax.named_scope("conv_redir"):
+        redir = common.conv(params["conv_redir"], feats_a["conv3"],
+                            compute_dtype=cd)
     x = jnp.concatenate([redir, cc.astype(redir.dtype)], axis=-1)
 
     for name, _, stride, _ in TAIL:
-        x = common.conv(params[name], x, stride=stride, compute_dtype=cd)
+        with jax.named_scope(name):
+            x = common.conv(params[name], x, stride=stride,
+                            compute_dtype=cd)
         acts[name] = x
 
     # decoder skips: levels 5/4/3 from the tail, level 2 from tower A.

@@ -100,18 +100,25 @@ def apply(params, inputs, training: bool = False, compute_dtype=None,
 
     cd = compute_dtype
     acts = {}
+    # named_scope per layer: trace-time metadata only (no runtime op);
+    # the profiler's tf_op stat carries the scope path, so the op
+    # ledger can attribute device time per LAYER, not just per source
+    # line (benchmarks/op_ledger.py by_scope)
     for name, _, stride, _ in ENCODER:
-        if name == "conv1" and x_s2d:
-            x = common.conv7x7s2_s2d(params[name], x, compute_dtype=cd,
-                                     in_splits=in_splits, x_is_s2d=True)
-        elif name == "conv1" and common.use_s2d_head7(x.shape[-1]):
-            # space-to-depth head: exactly equivalent 4x4/1 conv on the
-            # 2x2-folded input. Only taken for wide (stage-2) inputs —
-            # the fold costs ~1 ms at full res (common.py S2D flags).
-            x = common.conv7x7s2_s2d(params[name], x, compute_dtype=cd)
-        else:
-            x = common.conv(params[name], x, stride=stride,
-                            compute_dtype=cd)
+        with jax.named_scope(name):
+            if name == "conv1" and x_s2d:
+                x = common.conv7x7s2_s2d(params[name], x, compute_dtype=cd,
+                                         in_splits=in_splits,
+                                         x_is_s2d=True)
+            elif name == "conv1" and common.use_s2d_head7(x.shape[-1]):
+                # space-to-depth head: exactly equivalent 4x4/1 conv on
+                # the 2x2-folded input. Only taken for wide (stage-2)
+                # inputs — the fold costs ~1 ms at full res (common.py
+                # S2D flags).
+                x = common.conv7x7s2_s2d(params[name], x, compute_dtype=cd)
+            else:
+                x = common.conv(params[name], x, stride=stride,
+                                compute_dtype=cd)
         acts[name] = x
 
     return decoder(params, acts, (in_h, in_w), compute_dtype=cd)
@@ -129,28 +136,34 @@ def decoder(params, acts, input_hw, compute_dtype=None, top="conv6_1"):
     cd = compute_dtype
     preds = {}
     x = acts[top]
-    flow = common.predict_flow(params["predict_flow6"], x, compute_dtype=cd)
+    with jax.named_scope("predict_flow6"):
+        flow = common.predict_flow(params["predict_flow6"], x,
+                                   compute_dtype=cd)
     preds["predict_flow6"] = flow
     for lvl in (5, 4, 3, 2):
-        up_feat = common.deconv(params[f"deconv{lvl}"], x, compute_dtype=cd)
-        up_flow = common.deconv(
-            params[f"upsample_flow{lvl + 1}to{lvl}"],
-            flow,
-            act=False,
-            compute_dtype=cd,
-        )
-        skip = acts[SKIP[lvl]]
-        # flow stays f32 in preds; cast only the concat copy so a mixed
-        # concat doesn't promote the whole feature map back to f32
-        x = jnp.concatenate(
-            [skip, up_feat, up_flow.astype(skip.dtype)], axis=-1
-        )
-        flow = common.predict_flow(
-            params[f"predict_flow{lvl}"], x, compute_dtype=cd
-        )
+        with jax.named_scope(f"refine{lvl}"):
+            up_feat = common.deconv(params[f"deconv{lvl}"], x,
+                                    compute_dtype=cd)
+            up_flow = common.deconv(
+                params[f"upsample_flow{lvl + 1}to{lvl}"],
+                flow,
+                act=False,
+                compute_dtype=cd,
+            )
+            skip = acts[SKIP[lvl]]
+            # flow stays f32 in preds; cast only the concat copy so a
+            # mixed concat doesn't promote the whole feature map back
+            # to f32
+            x = jnp.concatenate(
+                [skip, up_feat, up_flow.astype(skip.dtype)], axis=-1
+            )
+            flow = common.predict_flow(
+                params[f"predict_flow{lvl}"], x, compute_dtype=cd
+            )
         preds[f"predict_flow{lvl}"] = flow
 
-    full = resize_bilinear_tf1(flow * 20.0, input_hw[0], input_hw[1])
+    with jax.named_scope("upsample_out"):
+        full = resize_bilinear_tf1(flow * 20.0, input_hw[0], input_hw[1])
     preds["flow"] = full
     return preds
 

@@ -83,44 +83,54 @@ def apply(params, inputs, training: bool = False, compute_dtype=None):
 
     acts = {}
     encoder = ENCODER
+    # named_scope per layer: per-layer profiler attribution
+    # (flownet_s.apply comment; op_ledger by_scope)
     if common.s2d_heads():
         # conv0 (full-res 3x3/1) + conv1 (3x3/2) run as one
         # space-to-depth pair — no full-res 64-channel activation is
         # materialized (neither is a decoder skip; SKIP starts at
         # conv1_1). Exactly equivalent: models/common.py S2D section.
-        x = common.conv_pair3x3_s2d(
-            params["conv0"], params["conv1"], x, compute_dtype=cd
-        )
+        with jax.named_scope("conv0_conv1_s2d"):
+            x = common.conv_pair3x3_s2d(
+                params["conv0"], params["conv1"], x, compute_dtype=cd
+            )
         encoder = ENCODER[2:]
     for name, _, stride, _ in encoder:
-        x = common.conv(params[name], x, stride=stride, compute_dtype=cd)
+        with jax.named_scope(name):
+            x = common.conv(params[name], x, stride=stride,
+                            compute_dtype=cd)
         acts[name] = x
 
     preds = {}
-    flow = common.predict_flow(params["predict_flow6"], x, compute_dtype=cd)
+    with jax.named_scope("predict_flow6"):
+        flow = common.predict_flow(params["predict_flow6"], x,
+                                   compute_dtype=cd)
     preds["predict_flow6"] = flow
     for lvl in (5, 4, 3, 2):
-        up_feat = common.deconv(params[f"deconv{lvl}"], x, compute_dtype=cd)
-        up_flow = common.deconv(
-            params[f"upsample_flow{lvl + 1}to{lvl}"],
-            flow,
-            act=False,
-            compute_dtype=cd,
-        )
-        skip = acts[SKIP[lvl]]
-        x = jnp.concatenate(
-            [skip, up_feat, up_flow.astype(skip.dtype)], axis=-1
-        )
-        inter = common.conv(
-            params[f"interconv{lvl}"], x, act=False, compute_dtype=cd,
-            interconv=True,
-        )
-        flow = common.predict_flow(
-            params[f"predict_flow{lvl}"], inter, compute_dtype=cd
-        )
+        with jax.named_scope(f"refine{lvl}"):
+            up_feat = common.deconv(params[f"deconv{lvl}"], x,
+                                    compute_dtype=cd)
+            up_flow = common.deconv(
+                params[f"upsample_flow{lvl + 1}to{lvl}"],
+                flow,
+                act=False,
+                compute_dtype=cd,
+            )
+            skip = acts[SKIP[lvl]]
+            x = jnp.concatenate(
+                [skip, up_feat, up_flow.astype(skip.dtype)], axis=-1
+            )
+            inter = common.conv(
+                params[f"interconv{lvl}"], x, act=False, compute_dtype=cd,
+                interconv=True,
+            )
+            flow = common.predict_flow(
+                params[f"predict_flow{lvl}"], inter, compute_dtype=cd
+            )
         preds[f"predict_flow{lvl}"] = flow
 
-    preds["flow"] = resize_bilinear_tf1(flow * 20.0, in_h, in_w)
+    with jax.named_scope("upsample_out"):
+        preds["flow"] = resize_bilinear_tf1(flow * 20.0, in_h, in_w)
     return preds
 
 

@@ -167,15 +167,17 @@ def _apply_second_stage(params_s, input_a, input_b, stage_preds, training,
     the two are one transform)."""
     if common.use_s2d_head7(12):
         n, h, w, _ = input_a.shape
-        flow_s2d = _stage_flow_s2d(stage_preds, h, w)
-        x = _second_stage_input_s2d(input_a, input_b, flow_s2d,
-                                    compute_dtype)
+        with jax.named_scope("stage2_assembly"):
+            flow_s2d = _stage_flow_s2d(stage_preds, h, w)
+            x = _second_stage_input_s2d(input_a, input_b, flow_s2d,
+                                        compute_dtype)
         return flownet_s.apply(
             params_s, x, training=training, compute_dtype=compute_dtype,
             x_s2d=True, in_splits=STAGE2_S2D_SPLITS,
         )
-    x = _second_stage_input(input_a, input_b, stage_preds["flow"],
-                            compute_dtype)
+    with jax.named_scope("stage2_assembly"):
+        x = _second_stage_input(input_a, input_b, stage_preds["flow"],
+                                compute_dtype)
     return flownet_s.apply(
         params_s, x, training=training, compute_dtype=compute_dtype
     )
@@ -220,14 +222,19 @@ def init_cs(key, dtype=jnp.float32):
 
 
 def apply_cs(params, inputs, training: bool = False, compute_dtype=None):
-    preds_c = flownet_c.apply(
-        params["FlowNetC"], inputs, training=training,
-        compute_dtype=compute_dtype,
-    )
-    preds = _apply_second_stage(
-        params["FlowNetS"], inputs["input_a"], inputs["input_b"],
-        preds_c, training, compute_dtype,
-    )
+    # stage-level named scopes: the profiler attributes device time per
+    # stage path (e.g. FlowNetC/conv3, FlowNetS_2/refine2) — op_ledger
+    # by_scope
+    with jax.named_scope("FlowNetC"):
+        preds_c = flownet_c.apply(
+            params["FlowNetC"], inputs, training=training,
+            compute_dtype=compute_dtype,
+        )
+    with jax.named_scope("FlowNetS_2"):
+        preds = _apply_second_stage(
+            params["FlowNetS"], inputs["input_a"], inputs["input_b"],
+            preds_c, training, compute_dtype,
+        )
     preds["flow_c"] = preds_c["flow"]
     return preds
 
@@ -249,14 +256,16 @@ def init_css(key, dtype=jnp.float32):
 
 
 def apply_css(params, inputs, training: bool = False, compute_dtype=None):
-    preds_cs = apply_cs(
-        params["FlowNetCS"], inputs, training=training,
-        compute_dtype=compute_dtype,
-    )
-    preds = _apply_second_stage(
-        params["FlowNetS"], inputs["input_a"], inputs["input_b"],
-        preds_cs, training, compute_dtype,
-    )
+    with jax.named_scope("FlowNetCS"):
+        preds_cs = apply_cs(
+            params["FlowNetCS"], inputs, training=training,
+            compute_dtype=compute_dtype,
+        )
+    with jax.named_scope("FlowNetS_3"):
+        preds = _apply_second_stage(
+            params["FlowNetS"], inputs["input_a"], inputs["input_b"],
+            preds_cs, training, compute_dtype,
+        )
     preds["flow_cs"] = preds_cs["flow"]
     return preds
 
@@ -384,12 +393,16 @@ def apply_flownet2(params, inputs, training: bool = False,
     n, in_h, in_w, _ = input_a.shape
     cd = compute_dtype
 
-    preds_css = apply_css(
-        params["FlowNetCSS"], inputs, training=training, compute_dtype=cd
-    )
-    preds_sd = flownet_sd.apply(
-        params["FlowNetSD"], inputs, training=training, compute_dtype=cd
-    )
+    with jax.named_scope("FlowNetCSS"):
+        preds_css = apply_css(
+            params["FlowNetCSS"], inputs, training=training,
+            compute_dtype=cd
+        )
+    with jax.named_scope("FlowNetSD"):
+        preds_sd = flownet_sd.apply(
+            params["FlowNetSD"], inputs, training=training,
+            compute_dtype=cd
+        )
     flow_css = preds_css["flow"]
     flow_sd = preds_sd["flow"]
 
@@ -486,6 +499,21 @@ def apply_flownet2(params, inputs, training: bool = False,
             ],
             axis=-1,
         )
+    with jax.named_scope("fusion"):
+        preds = _fusion_head(params, x, acts, fusion, fuse_conv0_s2d, cd)
+
+    preds["flow"] = resize_bilinear_tf1(
+        preds["predict_flow0"] * 20.0, in_h, in_w
+    )
+    preds["flow_css"] = flow_css
+    preds["flow_sd"] = flow_sd
+    return preds
+
+
+def _fusion_head(params, x, acts, fusion, fuse_conv0_s2d, cd):
+    """Fusion pyramid + refinement (fuse_conv* -> predict_flow2/1/0).
+    Factored out of apply_flownet2 so the whole chain sits under one
+    profiler named scope (op_ledger by_scope)."""
     for name, _, stride, _, act in fusion:
         x = common.conv(params[name], x, stride=stride, act=act,
                         compute_dtype=cd)
@@ -554,10 +582,6 @@ def apply_flownet2(params, inputs, training: bool = False,
         flow0 = common.predict_flow(params["predict_flow0"], inter0,
                                     compute_dtype=cd)
     preds["predict_flow0"] = flow0
-
-    preds["flow"] = resize_bilinear_tf1(flow0 * 20.0, in_h, in_w)
-    preds["flow_css"] = flow_css
-    preds["flow_sd"] = flow_sd
     return preds
 
 

@@ -178,6 +178,28 @@ def test_run_bench_publishes_spread_and_warp_mode():
     assert r["ms_per_pair"] > 0
 
 
+@pytest.mark.quick
+def test_ledger_scope_path_parser():
+    """op_ledger by_scope attribution: jaxpr name-stack strings reduce
+    to the model's named_scope path (jit/scan wrappers and the trailing
+    primitive stripped)."""
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    try:
+        from op_ledger import _scope_path
+    finally:
+        sys.path.pop(0)
+
+    assert _scope_path(
+        "jit(chained)/while/body/FlowNetCSS/FlowNetCS/FlowNetC/conv3/"
+        "conv_general_dilated"
+    ) == "FlowNetCSS/FlowNetCS/FlowNetC/conv3"
+    assert _scope_path("jit(f)/refine2/add") == "refine2"
+    assert _scope_path("jit(f)/convert_element_type") == "(unscoped)"
+    assert _scope_path(None) == "(unscoped)"
+    assert _scope_path(
+        "jit(c)/while/body/fusion/conv_general_dilated") == "fusion"
+
+
 # -------------------------------------------------------------- manifest
 
 @pytest.mark.quick
