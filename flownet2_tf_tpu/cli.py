@@ -42,6 +42,12 @@ def _add_common_model_arg(p):
         help="matmul precision for feature convs on the f32 path "
              "(default: highest — the parity setting)",
     )
+    p.add_argument(
+        "--fusion_res", default=None, type=int, choices=[1, 2],
+        help="FlowNet2 fusion-net grid factor: 1 exact (default), 2 "
+             "half resolution (approximate serving lever — measured "
+             "trade: benchmarks/results.json::fusion_res_ab)",
+    )
 
 
 def _apply_perf_flags(args):
@@ -55,6 +61,8 @@ def _apply_perf_flags(args):
         os.environ["FLOWNET2_TPU_WARP_RES"] = str(args.warp_res)
     if getattr(args, "f32_features", None):
         os.environ["FLOWNET2_TPU_F32_FEATURES"] = args.f32_features
+    if getattr(args, "fusion_res", None):
+        os.environ["FLOWNET2_TPU_FUSION_RES"] = str(args.fusion_res)
 
 
 def parse_warm_start_spec(spec):

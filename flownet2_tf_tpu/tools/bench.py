@@ -239,6 +239,14 @@ def _measure(model, height, width, batch, iters, compute_dtype, repeats,
         "repeats": len(samples),
         "spread_pct": round(spread * 100.0, 1),
     }
+    from flownet2_tf_tpu.ops import dispatch as _dispatch
+
+    fusion_k = _dispatch.get_fusion_res()
+    if fusion_k != 1:
+        # approximation knobs must be visible in the artifact
+        # (VERDICT r4 weak #5): FLOWNET2_TPU_FUSION_RES=2 runs the
+        # fusion net at half resolution (benchmarks/fusion_res_ab.py)
+        result["fusion_res"] = fusion_k
     if reject_reasons:
         result["suspect"] = "; ".join(reject_reasons)
     if floor_ms is not None:
@@ -276,7 +284,8 @@ def main():
         "unit": result["unit"],
         "vs_baseline": result["vs_baseline"],
     }
-    for k in ("mfu", "ms_per_pair", "warp_mode", "spread_pct", "suspect"):
+    for k in ("mfu", "ms_per_pair", "warp_mode", "fusion_res",
+              "spread_pct", "suspect"):
         if k in result:
             line[k] = result[k]
     # Full-res (exact-warp) companion (VERDICT r4 weak #5): the headline
