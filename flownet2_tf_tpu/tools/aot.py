@@ -102,7 +102,8 @@ def _spatial_serving_forward(model_name, compute_dtype, n_tiles, overlap,
 
 
 def _export_one(model_name, params, height, width, batch, compute_dtype,
-                warp_mode, platforms, dp, sp, spatial_overlap):
+                warp_mode, platforms, dp, sp, spatial_overlap,
+                fusion_res=1):
     """Lower + export one shape-specialized serving forward (the core
     of export_serving; shared with export_serving_bundle)."""
     import jax
@@ -155,6 +156,13 @@ def _export_one(model_name, params, height, width, batch, compute_dtype,
             raise ValueError(
                 f"warp_mode must be 'half', 'quarter' or 'full': "
                 f"{warp_mode!r}")
+        # Pin the fusion grid the same way: an ambient
+        # FLOWNET2_TPU_FUSION_RES=2 must not silently bake the
+        # half-res-fusion approximation into a durable artifact whose
+        # metadata doesn't say so (same ADVICE r3 failure mode as
+        # warp_res). fusion_res is an explicit export parameter,
+        # recorded in the artifact metadata.
+        stack.enter_context(dispatch.use_fusion_res(fusion_res))
         if platforms is not None and len(platforms) > 1 \
                 and dispatch.get_implementation() == "auto":
             # 'auto' picks a correlation impl from the EXPORT host's
@@ -175,7 +183,7 @@ def _export_one(model_name, params, height, width, batch, compute_dtype,
 def export_serving(model_name, params, height, width, out_path, batch=1,
                    compute_dtype="bfloat16", warp_mode="half",
                    platforms=None, data_parallel=0, spatial_tiles=0,
-                   spatial_overlap=128):
+                   spatial_overlap=128, fusion_res=1):
     """Export one compiled serving forward to ``out_path`` (.flowpak).
 
     ``warp_mode='half'`` bakes the half-res stack-warp serving preset
@@ -214,6 +222,7 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
     exported = _export_one(
         model_name, params, height, width, batch, compute_dtype,
         warp_mode, platforms, dp, sp, spatial_overlap,
+        fusion_res=int(fusion_res),
     )
 
     params_bytes, bf16_leaves = _encode_params(params)
@@ -230,6 +239,7 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
         "data_parallel": dp,
         "spatial_tiles": sp,
         "spatial_overlap": int(spatial_overlap) if sp else 0,
+        "fusion_res": int(fusion_res),
         "bf16_leaves": bf16_leaves,
     }
     out_path = os.fspath(out_path)
@@ -301,7 +311,7 @@ def export_serving_bundle(model_name, params, shapes, out_path,
 
     exports = [
         _export_one(model_name, params, h, w, b, compute_dtype,
-                    warp_mode, platforms, 0, 0, 0)
+                    warp_mode, platforms, 0, 0, 0, fusion_res=1)
         for h, w, b in shapes
     ]
     params_bytes, bf16_leaves = _encode_params(params)

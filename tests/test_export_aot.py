@@ -90,6 +90,27 @@ def test_full_export_pins_exact_warps_against_env(tmp_path, monkeypatch):
     np.testing.assert_allclose(got, ref_full, atol=1e-5)
 
 
+def test_export_pins_fusion_res_against_env(tmp_path, monkeypatch):
+    """Default exports must bake EXACT (full-res) fusion even when an
+    ambient FLOWNET2_TPU_FUSION_RES=2 is set, and record fusion_res in
+    the artifact metadata (same ADVICE-r3 failure mode as warp_res;
+    uses FlowNetS — no fusion net — purely to keep the export cheap,
+    plus a metadata check on the knob)."""
+    params = get_model("s").init(jax.random.PRNGKey(3))
+    monkeypatch.setenv("FLOWNET2_TPU_FUSION_RES", "2")
+    path = tmp_path / "s_meta.flowpak"
+    meta = aot.export_serving("s", params, 64, 64, path,
+                              compute_dtype="float32", warp_mode="full")
+    monkeypatch.delenv("FLOWNET2_TPU_FUSION_RES")
+    assert meta["fusion_res"] == 1
+    import json as _json
+    import zipfile as _zip
+
+    with _zip.ZipFile(path) as z:
+        stored = _json.loads(z.read("meta.json"))
+    assert stored["fusion_res"] == 1
+
+
 def test_data_parallel_export_matches_single_device(tmp_path, s_params):
     """A data_parallel=8 artifact (params replicated, batch split over
     the ('data',) mesh) returns the same flows as the unsharded path —
