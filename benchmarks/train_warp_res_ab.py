@@ -2,7 +2,8 @@
 transfer to TRAINING?
 
 The serving preset's half-res stack warps (k=2) bought 1.55x forward
-for +0.006 px AEE on trained weights (docs/DESIGN.md). Training is a
+for an AEE delta within +-0.011 px on trained weights (sign is
+curriculum-dependent — docs/DESIGN.md). Training is a
 different question twice over: (1) the train step's warp share differs
 (b8 at the 320x448 reference crop, backward pass included), and (2)
 coarse warps change the GRADIENTS — the fusion/stacked stages would be

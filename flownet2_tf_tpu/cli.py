@@ -746,8 +746,10 @@ def build_parser():
     p.add_argument(
         "--warp_mode", default="half",
         choices=["half", "quarter", "full"],
-        help="half = serving preset (1.55x, +0.006 px AEE on trained "
-             "weights); quarter = coarser still (measured trade: "
+        help="half = serving preset (1.55x; AEE delta within +-0.011 px "
+             "on trained weights — +0.006..+0.011 on the r3 192x256 "
+             "curriculum, -0.010 on the r4 320x448 one: docs/DESIGN.md); "
+             "quarter = coarser still (measured trade: "
              "results.json::warp_res_ab); full = exact warps (parity "
              "path)",
     )

@@ -187,7 +187,8 @@ def export_serving(model_name, params, height, width, out_path, batch=1,
     """Export one compiled serving forward to ``out_path`` (.flowpak).
 
     ``warp_mode='half'`` bakes the half-res stack-warp serving preset
-    (docs/DESIGN.md: 1.55x for +0.006 px AEE on trained weights);
+    (docs/DESIGN.md: 1.55x for an AEE delta within +-0.011 px on
+    trained weights — the sign is curriculum-dependent);
     ``'full'`` keeps exact warps (the parity path). ``platforms``
     defaults to the current backend; pass e.g. ``['tpu', 'cpu']`` for a
     multi-platform artifact.
