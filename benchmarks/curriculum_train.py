@@ -45,7 +45,8 @@ def stage_dir(name):
 
 
 def train_stage(name, height, width, steps_scale=1, augment=False,
-                motion="default", steps_override=None):
+                motion="default", steps_override=None,
+                checkpoint_every=None):
     from flownet2_tf_tpu.data.loader import BatchLoader, SyntheticFlowDataset
     from flownet2_tf_tpu.training.loop import TrainConfig, Trainer
 
@@ -70,7 +71,11 @@ def train_stage(name, height, width, steps_scale=1, augment=False,
         compute_dtype="bfloat16",
         augment=False,
         tensorboard=False,
-        checkpoint_every=steps,  # one save at the end (+ final save)
+        # default: one save at the end (+ final save); long stages pass
+        # a smaller interval so a timeout/reboot mid-stage resumes from
+        # the last interval instead of restarting the stage (the r5
+        # reboots cost two full retrains this way)
+        checkpoint_every=(checkpoint_every or steps),
         log_every=100,
         eval_every=0,
     )
@@ -129,6 +134,10 @@ def main():
     parser.add_argument("--augment", action="store_true",
                         help="full Chairs augmentation at the crop "
                              "(source frames rendered crop+64)")
+    parser.add_argument("--checkpoint_every", type=int, default=0,
+                        help="save every N steps (0 = once per stage); "
+                             "use for long stages that must survive a "
+                             "timeout or host reboot mid-stage")
     parser.add_argument("--motion", default="default",
                         choices=["default", "large", "subpixel", "mixed"],
                         help="synthetic displacement regime (the fusion "
@@ -155,6 +164,7 @@ def main():
                 name, args.height, args.width,
                 steps_scale=args.steps_scale, augment=args.augment,
                 motion=args.motion, steps_override=overrides.get(name),
+                checkpoint_every=args.checkpoint_every or None,
             )
             # persist per stage: a later stage dying must not lose the
             # earlier stages' wall-clock record (VERDICT r4 #5)
